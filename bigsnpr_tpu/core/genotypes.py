@@ -1,0 +1,151 @@
+"""The bigSNP-equivalent container.
+
+A `GenoPack` bundles a 2-bit-packed genotype matrix (variant-major, the
+PLINK .bed layout minus its 3-byte header) with sample (`fam`) and variant
+(`map`) metadata frames — the analog of the reference's
+bigSNP = {genotypes: FBM.code256, fam, map} (reference R/bigSNP-class.R:17-36),
+with column contracts from reference R/utils.R:49-53.
+
+Persistence is a directory: `<name>.gpk/` holding `packed.bin` (raw bytes,
+memmap-able), `fam.parquet`, `map.parquet`, `meta.json` — the analog of the
+reference's .bk + .rds pair re-attached with snp_attach
+(reference R/read-plink.R:128-139).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field, replace
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from bigsnpr_tpu.core import unpack
+
+FAM_COLS = ["family.ID", "sample.ID", "paternal.ID", "maternal.ID", "sex", "affection"]
+MAP_COLS = ["chromosome", "marker.ID", "genetic.dist", "physical.pos", "allele1", "allele2"]
+
+
+@dataclass
+class GenoPack:
+    """2-bit packed genotype matrix + metadata.
+
+    packed: (m, ceil(n/4)) uint8, variant-major — row j holds variant j's
+            n genotypes, 4 per byte, low bits first.
+    """
+
+    packed: np.ndarray  # (m, nb) uint8 (numpy or numpy.memmap)
+    n: int              # number of samples
+    fam: Optional[pd.DataFrame] = None
+    map: Optional[pd.DataFrame] = None
+    _device_cache: object = field(default=None, repr=False, compare=False)
+
+    @property
+    def m(self) -> int:
+        return self.packed.shape[0]
+
+    @property
+    def shape(self):
+        """(n_samples, m_variants) — matches the reference's G orientation."""
+        return (self.n, self.m)
+
+    def device_packed(self):
+        """The packed bytes as a device array (cached)."""
+        import jax.numpy as jnp
+
+        if self._device_cache is None:
+            object.__setattr__(self, "_device_cache", jnp.asarray(np.asarray(self.packed)))
+        return self._device_cache
+
+    # -- dense views (host, for oracles/small data) --------------------------
+    def to_dosage(self) -> np.ndarray:
+        """(n, m) float64 dosage with NaN for missing (host-side)."""
+        codes = unpack.np_unpack_codes(np.asarray(self.packed), self.n)
+        from bigsnpr_tpu.core.codes import BED_CODE_NUM
+
+        return BED_CODE_NUM[codes].T  # (n, m)
+
+    def subset(self, ind_row=None, ind_col=None) -> "GenoPack":
+        """Materialized subset (reference snp_subset, R/subset-QC.R:33-98)."""
+        ind_col = np.arange(self.m) if ind_col is None else np.asarray(ind_col)
+        codes = unpack.np_unpack_codes(np.asarray(self.packed)[ind_col], self.n)
+        if ind_row is not None:
+            codes = codes[:, np.asarray(ind_row)]
+        new_fam = self.fam.iloc[ind_row].reset_index(drop=True) if (
+            self.fam is not None and ind_row is not None) else self.fam
+        new_map = self.map.iloc[ind_col].reset_index(drop=True) if self.map is not None else self.map
+        return GenoPack(
+            packed=unpack.np_pack_codes(codes),
+            n=codes.shape[1],
+            fam=new_fam,
+            map=new_map,
+        )
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, path: str | os.PathLike) -> str:
+        path = Path(path)
+        if path.suffix != ".gpk":
+            path = path.with_suffix(".gpk")
+        path.mkdir(parents=True, exist_ok=True)
+        np.asarray(self.packed).tofile(path / "packed.bin")
+        meta = {"n": int(self.n), "m": int(self.m), "version": 1}
+        (path / "meta.json").write_text(json.dumps(meta))
+        if self.fam is not None:
+            self.fam.to_parquet(path / "fam.parquet")
+        if self.map is not None:
+            self.map.to_parquet(path / "map.parquet")
+        return str(path)
+
+
+def snp_attach(path: str | os.PathLike, mmap: bool = True) -> GenoPack:
+    """Re-attach a saved GenoPack (reference snp_attach, R/read-plink.R:128-139)."""
+    path = Path(path)
+    meta = json.loads((path / "meta.json").read_text())
+    n, m = meta["n"], meta["m"]
+    nb = (n + 3) // 4
+    if mmap:
+        packed = np.memmap(path / "packed.bin", dtype=np.uint8, mode="r", shape=(m, nb))
+    else:
+        packed = np.fromfile(path / "packed.bin", dtype=np.uint8).reshape(m, nb)
+    fam = pd.read_parquet(path / "fam.parquet") if (path / "fam.parquet").exists() else None
+    map_ = pd.read_parquet(path / "map.parquet") if (path / "map.parquet").exists() else None
+    return GenoPack(packed=packed, n=n, fam=fam, map=map_)
+
+
+def snp_save(pack: GenoPack, path: str | os.PathLike) -> str:
+    return pack.save(path)
+
+
+def snp_subset(pack: GenoPack, ind_row=None, ind_col=None) -> GenoPack:
+    return pack.subset(ind_row, ind_col)
+
+
+def snp_fake(n: int, m: int, *, seed: Optional[int] = None,
+             maf_range=(0.05, 0.45), na_prob: float = 0.0) -> GenoPack:
+    """Random test GenoPack (reference snp_fake, R/fake.R:27-54).
+
+    Genotypes ~ Binomial(2, p_j) with p_j ~ U(maf_range); optional missing.
+    """
+    rng = np.random.default_rng(seed)
+    p = rng.uniform(*maf_range, size=m)
+    dosage = rng.binomial(2, p[:, None], size=(m, n)).astype(float)
+    if na_prob > 0:
+        dosage[rng.random((m, n)) < na_prob] = np.nan
+    codes = unpack.np_dosage_to_codes(dosage)
+    fam = pd.DataFrame({
+        "family.ID": [f"F{i}" for i in range(n)],
+        "sample.ID": [f"S{i}" for i in range(n)],
+        "paternal.ID": 0, "maternal.ID": 0,
+        "sex": rng.integers(1, 3, n), "affection": rng.integers(1, 3, n),
+    })
+    map_ = pd.DataFrame({
+        "chromosome": np.ones(m, dtype=int),
+        "marker.ID": [f"SNP{j}" for j in range(m)],
+        "genetic.dist": np.zeros(m),
+        "physical.pos": np.arange(1, m + 1) * 1000,
+        "allele1": "A", "allele2": "C",
+    })
+    return GenoPack(packed=unpack.np_pack_codes(codes), n=n, fam=fam, map=map_)

@@ -1,0 +1,107 @@
+"""Standardized genotype mat-vec / mat-mat pair.
+
+The {center, scale, X·v, Xᵀ·v} contract that SVD/PCA/PRS consume
+(reference R/autoSVD.R:205-219 shows the plug-in surface; hot loops
+src/bed-prod-vec.cpp:15-97). TPU design: stream variant blocks, decode
+2-bit codes to standardized f32 in VMEM-sized chunks, feed the MXU,
+accumulate in f32. NA -> 0 after centering == built-in mean imputation
+(reference src/bed-acc.h:86-115).
+
+Conventions (match the reference's G orientation, samples x variants):
+  prodVec : X (n x m) @ u (m[, l]) -> (n[, l])
+  cprodVec: Xᵀ     @ v (n[, l]) -> (m[, l])
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bigsnpr_tpu.config as config
+from bigsnpr_tpu.core.unpack import unpack_standardized
+from bigsnpr_tpu.ops.blocks import pick_block, pad_rows
+
+
+@partial(jax.jit, static_argnames=("n", "block", "precision"))
+def _cprod_blocked(packed, V, center, scale, n, block, precision):
+    """(m_pad, nb) packed, V (n, l) -> (m_pad, l) = X̃ᵀ V."""
+    m_pad, nb = packed.shape
+    blocks = packed.reshape(m_pad // block, block, nb)
+    c = center.reshape(-1, block)
+    s = scale.reshape(-1, block)
+
+    def body(args):
+        pb, cb, sb = args
+        xt = unpack_standardized(pb, n, cb, sb)  # (block, n)
+        return jnp.dot(xt, V, preferred_element_type=jnp.float32,
+                       precision=precision)
+
+    out = jax.lax.map(body, (blocks, c, s))  # (nbB, block, l)
+    return out.reshape(m_pad, -1)
+
+
+@partial(jax.jit, static_argnames=("n", "block", "precision"))
+def _prod_blocked(packed, U, center, scale, n, block, precision):
+    """(m_pad, nb) packed, U (m_pad, l) -> (n, l) = X̃ U."""
+    m_pad, nb = packed.shape
+    nblocks = m_pad // block
+    blocks = packed.reshape(nblocks, block, nb)
+    c = center.reshape(nblocks, block)
+    s = scale.reshape(nblocks, block)
+    Ub = U.reshape(nblocks, block, -1)
+
+    def body(acc, args):
+        pb, cb, sb, ub = args
+        xt = unpack_standardized(pb, n, cb, sb)  # (block, n)
+        acc = acc + jnp.dot(xt.T, ub, preferred_element_type=jnp.float32,
+                            precision=precision)
+        return acc, None
+
+    acc0 = jnp.zeros((n, U.shape[-1]), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (blocks, c, s, Ub))
+    return acc
+
+
+def _prep(pack, center, scale, block):
+    n = pack.n
+    m = pack.m
+    block = block or pick_block(n)
+    center = np.zeros(m) if center is None else np.asarray(center, dtype=np.float64)
+    scale = np.ones(m) if scale is None else np.asarray(scale, dtype=np.float64)
+    packed, _ = pad_rows(np.asarray(pack.packed), block)
+    c, _ = pad_rows(center.astype(np.float32), block, fill=0)
+    s, _ = pad_rows(scale.astype(np.float32), block, fill=1)
+    return packed, c, s, n, m, block
+
+
+def snp_cprodVec(pack, v, center=None, scale=None, block=None):
+    """X̃ᵀ v: per-variant scaled dot products (reference bed_cprodVec,
+    R/bed-mult-vec.R:50-75 / src/bed-prod-vec.cpp:59-97)."""
+    packed, c, s, n, m, block = _prep(pack, center, scale, block)
+    v = jnp.asarray(v, dtype=jnp.float32)
+    squeeze = v.ndim == 1
+    V = v[:, None] if squeeze else v
+    out = _cprod_blocked(jnp.asarray(packed), V, jnp.asarray(c), jnp.asarray(s),
+                         n, block, config.matmul_precision)
+    out = out[:m]
+    return out[:, 0] if squeeze else out
+
+
+def snp_prodVec(pack, u, center=None, scale=None, block=None):
+    """X̃ u: per-sample scores (reference bed_prodVec,
+    R/bed-mult-vec.R:20-49 / src/bed-prod-vec.cpp:15-51)."""
+    packed, c, s, n, m, block = _prep(pack, center, scale, block)
+    u = jnp.asarray(u, dtype=jnp.float32)
+    squeeze = u.ndim == 1
+    U = u[:, None] if squeeze else u
+    U_pad, _ = pad_rows(U, block, fill=0)
+    out = _prod_blocked(jnp.asarray(packed), U_pad, jnp.asarray(c), jnp.asarray(s),
+                        n, block, config.matmul_precision)
+    return out[:, 0] if squeeze else out
+
+
+bed_prodVec = snp_prodVec
+bed_cprodVec = snp_cprodVec

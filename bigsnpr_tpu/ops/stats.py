@@ -1,0 +1,139 @@
+"""Columnwise statistics, counts, and scaling.
+
+TPU re-design of the reference's single-pass C++/OpenMP column kernels:
+  - snp_colstats: per-column sum & centered SSQ (reference src/colstats.cpp:8-35)
+  - bed_counts:   4-level histograms (reference src/bed-fun.cpp:51-98)
+  - snp_MAF / bed_MAF / scaling (reference R/binom-scaling.R)
+
+Here each is a blocked decode + VPU reduction under jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bigsnpr_tpu.core.unpack import unpack_codes, codes_to_dosage
+from bigsnpr_tpu.ops.blocks import pick_block, pad_rows
+
+
+@partial(jax.jit, static_argnames=("n", "block"))
+def _counts_blocked(packed, n, block):
+    m_pad, nb = packed.shape
+    blocks = packed.reshape(m_pad // block, block, nb)
+
+    def body(pb):
+        codes = unpack_codes(pb, n)  # (block, n) uint8
+        c0 = jnp.sum(codes == 3, axis=1)  # dosage 0
+        c1 = jnp.sum(codes == 2, axis=1)  # dosage 1
+        c2 = jnp.sum(codes == 0, axis=1)  # dosage 2
+        cna = jnp.sum(codes == 1, axis=1)
+        return jnp.stack([c0, c1, c2, cna], axis=0).astype(jnp.int32)
+
+    out = jax.lax.map(body, blocks)  # (nb_blocks, 4, block)
+    return out.transpose(1, 0, 2).reshape(4, -1)
+
+
+def snp_counts(pack, ind_row=None, block=None) -> np.ndarray:
+    """(4, m) counts of dosage 0/1/2/NA per variant.
+
+    Reference: bed_counts / bed_col_counts_cpp (src/bed-fun.cpp:51-98).
+    """
+    n = pack.n
+    if ind_row is not None:
+        # row-subset path: decode + gather (rare; used by autoSVD subsets)
+        return _counts_rows(pack, np.asarray(ind_row))
+    packed = np.asarray(pack.packed)
+    block = block or pick_block(n)
+    padded, m = pad_rows(packed, block)
+    out = _counts_blocked(jnp.asarray(padded), n, block)
+    return np.asarray(out)[:, :m]
+
+
+def _counts_rows(pack, ind_row):
+    from bigsnpr_tpu.core.unpack import np_unpack_codes
+
+    codes = np_unpack_codes(np.asarray(pack.packed), pack.n)[:, ind_row]
+    c0 = (codes == 3).sum(1)
+    c1 = (codes == 2).sum(1)
+    c2 = (codes == 0).sum(1)
+    cna = (codes == 1).sum(1)
+    return np.stack([c0, c1, c2, cna], axis=0)
+
+
+bed_counts = snp_counts
+
+
+def snp_colstats(pack, ind_row=None, dtype=np.float64):
+    """Per-column {sumX, denoX, nona} over non-missing entries.
+
+    sumX = sum(x), denoX = sum(x^2) - sumX^2/nona (centered SSQ).
+    Reference: snp_colstats (src/colstats.cpp:8-35, no-NA assumption) and
+    bed_colstats (src/bed-fun.cpp:9-46, NA-aware). We are always NA-aware;
+    on complete data the two coincide.
+    """
+    counts = snp_counts(pack, ind_row=ind_row).astype(dtype)
+    c0, c1, c2, cna = counts
+    nona = c0 + c1 + c2
+    sumX = c1 + 2 * c2
+    ssq = c1 + 4 * c2
+    denoX = ssq - sumX**2 / np.maximum(nona, 1)
+    return {"sumX": sumX, "denoX": denoX, "nona": nona.astype(np.int64)}
+
+
+def snp_MAF(pack, ind_row=None, nploidy: int = 2) -> np.ndarray:
+    """Minor allele frequency (reference snp_MAF, R/binom-scaling.R:94-106).
+
+    NOTE: the reference snp_MAF divides by the full sample count (no-NA
+    assumption); we divide by the non-missing count (bed_MAF semantics,
+    R/binom-scaling.R:203-222), which matches on complete data.
+    """
+    s = snp_colstats(pack, ind_row=ind_row)
+    af = s["sumX"] / np.maximum(nploidy * s["nona"], 1)
+    return np.minimum(af, 1 - af)
+
+
+def bed_MAF(pack, ind_row=None):
+    """Reference bed_MAF (R/binom-scaling.R:203-222): {ac, mac, af, maf, N}."""
+    counts = snp_counts(pack, ind_row=ind_row)
+    ac = counts[1] + 2 * counts[2]
+    nb_nona = counts[:3].sum(0)
+    af = ac / np.maximum(2 * nb_nona, 1)
+    import pandas as pd
+
+    return pd.DataFrame({
+        "ac": ac, "mac": np.minimum(ac, 2 * nb_nona - ac),
+        "af": af, "maf": np.minimum(af, 1 - af), "N": nb_nona,
+    })
+
+
+def snp_scaleBinom(nploidy: int = 2):
+    """Binomial(nploidy, p) scaling: center = nploidy*af,
+    scale = sqrt(nploidy*af*(1-af)) (reference R/binom-scaling.R:62-77)."""
+
+    def fun(pack, ind_row=None):
+        s = snp_colstats(pack, ind_row=ind_row)
+        af = s["sumX"] / np.maximum(nploidy * s["nona"], 1)
+        return {"center": nploidy * af, "scale": np.sqrt(nploidy * af * (1 - af))}
+
+    return fun
+
+
+def bed_scaleBinom(pack, ind_row=None):
+    """Reference bed_scaleBinom (R/binom-scaling.R:133-142), NA-aware af."""
+    return snp_scaleBinom(2)(pack, ind_row=ind_row)
+
+
+def snp_scaleAlpha(alpha: float = -1.0):
+    """center = 2p, scale = (2p(1-p))^(-alpha/2)
+    (reference snp_scaleAlpha, R/binom-scaling.R:12-27)."""
+
+    def fun(pack, ind_row=None):
+        s = snp_colstats(pack, ind_row=ind_row)
+        af = s["sumX"] / np.maximum(2 * s["nona"], 1)
+        return {"center": 2 * af, "scale": (2 * af * (1 - af)) ** (-alpha / 2)}
+
+    return fun
