@@ -41,5 +41,7 @@ from bigsnpr_tpu.ops.matvec import (
     bed_cprodVec,
 )
 from bigsnpr_tpu.linalg.randomsvd import snp_randomSVD, bed_randomSVD, BigSVD
+from bigsnpr_tpu.ops.corr import snp_cor, bed_cor, SparseLD
+from bigsnpr_tpu.ops.ldscores import snp_ld_scores, bed_ld_scores, ld_scores_sfbm
 
 __version__ = "0.1.0"

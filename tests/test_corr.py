@@ -1,0 +1,114 @@
+"""Windowed correlation + LD scores: naive oracle + PLINK fixture parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bigsnpr_tpu import snp_fake
+from bigsnpr_tpu.ops.corr import snp_cor, cor_thresholds
+from bigsnpr_tpu.ops.ldscores import snp_ld_scores, ld_scores_sfbm
+
+
+def naive_pair_r(x, y):
+    """Pairwise-complete Pearson r, reference formula (src/corr.cpp:52-80)."""
+    both = ~np.isnan(x) & ~np.isnan(y)
+    nona = both.sum()
+    xs, ys = x[both], y[both]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        num = (xs * ys).sum() - xs.sum() * ys.sum() / nona
+        dx = (xs**2).sum() - xs.sum() ** 2 / nona
+        dy = (ys**2).sum() - ys.sum() ** 2 / nona
+        return num / np.sqrt(dx * dy), nona
+
+
+def naive_cor(X, size_snps, alpha, thr_r2):
+    n, m = X.shape
+    THR = cor_thresholds(n, alpha)
+    out = np.zeros((m, m))
+    for j0 in range(m):
+        for j in range(max(0, j0 - size_snps), j0):
+            r, nona = naive_pair_r(X[:, j0], X[:, j])
+            thr = max(THR[nona - 1], np.sqrt(thr_r2)) if nona >= 1 else np.nan
+            if np.isnan(r) or (not np.isnan(thr) and abs(r) > thr):
+                out[j, j0] = np.clip(r, -1, 1)
+    return out
+
+
+def test_cor_vs_naive():
+    pack = snp_fake(80, 60, seed=5, na_prob=0.1)
+    X = pack.to_dosage()
+    oracle = naive_cor(X, size_snps=10, alpha=0.05, thr_r2=0.01)
+    got = snp_cor(pack, size=10, alpha=0.05, thr_r2=0.01,
+                  fill_diag=False, block=16)
+    dense = np.asarray(got.upper.todense())
+    # same sparsity pattern and values
+    np.testing.assert_array_equal(dense != 0, oracle != 0)
+    np.testing.assert_allclose(dense, oracle, rtol=1e-10, atol=1e-12)
+
+
+def test_cor_complete_data_alpha1():
+    pack = snp_fake(100, 40, seed=6)
+    X = pack.to_dosage()
+    got = snp_cor(pack, size=40, fill_diag=True, block=8)
+    dense = np.asarray(got.sym().todense())
+    oracle = np.corrcoef(X.T)
+    # every |r| > 0 within window kept; compare nonzero entries
+    nz = dense != 0
+    np.testing.assert_allclose(dense[nz], oracle[nz], rtol=1e-9, atol=1e-10)
+    assert np.allclose(np.diag(dense), 1.0)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/tests/testthat/testdata/example.ld"),
+    reason="PLINK fixture not available")
+def test_cor_plink_parity(example_pack):
+    """r^2 parity vs PLINK --r2 fixture (reference test-2-corr.R:41-58)."""
+    import pandas as pd
+
+    size = 100
+    true = pd.read_csv("/root/reference/tests/testthat/testdata/example.ld",
+                       sep=r"\s+")
+    names = [f"SNP{k}" for k in range(example_pack.m)]
+    idx = {s: k for k, s in enumerate(names)}
+    ia = true["SNP_A"].map(idx).to_numpy()
+    ib = true["SNP_B"].map(idx).to_numpy()
+    keep = (ib - ia) <= size
+    ia, ib, r2_true = ia[keep], ib[keep], true["R2"].to_numpy()[keep]
+
+    got = snp_cor(example_pack, size=size, thr_r2=0.2, alpha=1.0,
+                  fill_diag=False)
+    g = got.upper.tocoo()
+    ours = {(i, j): v**2 for i, j, v in zip(g.row, g.col, g.data)}
+    assert len(ours) == len(ia), (len(ours), len(ia))
+    for i, j, v in zip(ia, ib, r2_true):
+        assert (i, j) in ours
+        assert abs(ours[(i, j)] - v) < 1e-6, (i, j, ours[(i, j)], v)
+
+
+def test_ld_scores_vs_naive():
+    pack = snp_fake(70, 50, seed=8, na_prob=0.08)
+    X = pack.to_dosage()
+    size = 12
+    oracle = np.ones(50)
+    for j0 in range(50):
+        for j in range(max(0, j0 - size), j0):
+            r, _ = naive_pair_r(X[:, j0], X[:, j])
+            if not np.isnan(r):
+                oracle[j0] += r * r
+                oracle[j] += r * r
+    got = snp_ld_scores(pack, size=size, block=16)
+    np.testing.assert_allclose(got, oracle, rtol=1e-10)
+
+
+def test_ld_scores_sfbm_consistency():
+    pack = snp_fake(90, 45, seed=9)
+    size = 45
+    corr = snp_cor(pack, size=size, fill_diag=True)
+    np.testing.assert_allclose(
+        ld_scores_sfbm(corr), snp_ld_scores(pack, size=size), rtol=1e-9)
+    # sub-index restriction
+    ind = np.arange(0, 45, 2)
+    sub_ld = ld_scores_sfbm(corr, ind_sub=ind)
+    dense = corr.to_dense()[np.ix_(ind, ind)]
+    np.testing.assert_allclose(sub_ld, (dense**2).sum(0), rtol=1e-9)
