@@ -43,5 +43,7 @@ from bigsnpr_tpu.ops.matvec import (
 from bigsnpr_tpu.linalg.randomsvd import snp_randomSVD, bed_randomSVD, BigSVD
 from bigsnpr_tpu.ops.corr import snp_cor, bed_cor, SparseLD
 from bigsnpr_tpu.ops.ldscores import snp_ld_scores, bed_ld_scores, ld_scores_sfbm
+from bigsnpr_tpu.ops.clumping import snp_clumping, bed_clumping, snp_indLRLDR
+from bigsnpr_tpu.pca.autosvd import snp_autoSVD, bed_autoSVD
 
 __version__ = "0.1.0"
