@@ -1,0 +1,144 @@
+"""Univariate GWAS regressions (the bigstatsr big_univLinReg /
+big_univLogReg surface the reference builds PGS pipelines on,
+e.g. reference tests/testthat/test-6-PRS.R:20, R/ldsc.R examples).
+
+TPU design: residualize y and every genotype column against the covariate
+block once (thin QR on device), then all per-SNP slopes/SEs are batched
+GEMMs + elementwise math — no per-SNP loop. Logistic: per-SNP IRLS with a
+fixed iteration count, vmapped over variants.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from scipy import stats as scipy_stats
+
+import bigsnpr_tpu.config as config
+from bigsnpr_tpu.core.unpack import unpack_dosage
+from bigsnpr_tpu.ops.blocks import pick_block, pad_rows
+
+
+@partial(jax.jit, static_argnames=("n", "block", "precision"))
+def _linreg_blocked(packed, yr, Q, n, block, precision):
+    """Per-variant slope/t-stat of y ~ x after projecting out Q (incl.
+    intercept). packed (m_pad, nb); yr = residualized y; Q (n, K) orthonormal.
+    NA dosages are mean-imputed per variant (matches big_univLinReg's
+    complete-data assumption on imputed FBMs)."""
+    m_pad, nb = packed.shape
+    blocks = packed.reshape(m_pad // block, block, nb)
+    K = Q.shape[1]
+
+    def body(pb):
+        d, na = unpack_dosage(pb, n)                       # (block, n)
+        cnt = jnp.sum(~na, axis=1)
+        mean = jnp.sum(d, axis=1) / jnp.maximum(cnt, 1)
+        x = jnp.where(na, mean[:, None], d)                # mean-impute
+        # residualize against [1 | covar] via Q (Q includes intercept col)
+        xq = jnp.dot(x, Q, preferred_element_type=jnp.float32,
+                     precision=precision)                  # (block, K)
+        xr = x - jnp.dot(xq, Q.T, preferred_element_type=jnp.float32,
+                         precision=precision)
+        sxx = jnp.sum(xr * xr, axis=1)
+        sxy = jnp.dot(xr, yr, preferred_element_type=jnp.float32,
+                      precision=precision)
+        beta = sxy / sxx
+        df = n - K - 1
+        rss = jnp.sum(yr * yr) - beta * sxy
+        se = jnp.sqrt(rss / df / sxx)
+        return beta, se
+
+    beta, se = jax.lax.map(body, blocks)
+    return beta.reshape(-1), se.reshape(-1)
+
+
+def big_univLinReg(pack, y, covar=None, ind_row=None, block=None) -> pd.DataFrame:
+    """Per-SNP linear regression y ~ x + covariates.
+
+    Returns DataFrame(estim, std.err, score) like bigstatsr's big_univLinReg.
+    """
+    sub = pack if ind_row is None else pack.subset(ind_row=np.asarray(ind_row))
+    n, m = sub.n, sub.m
+    y = np.asarray(y, dtype=np.float64)
+    assert len(y) == n
+    C = np.ones((n, 1)) if covar is None else np.column_stack(
+        [np.ones(n), np.asarray(covar)])
+    Q, _ = np.linalg.qr(C)
+    yr = y - Q @ (Q.T @ y)
+
+    block = block or pick_block(n)
+    packed, _ = pad_rows(np.asarray(sub.packed), block)
+    beta, se = _linreg_blocked(
+        jnp.asarray(packed), jnp.asarray(yr, dtype=jnp.float32),
+        jnp.asarray(Q, dtype=jnp.float32), n, block, config.matmul_precision)
+    beta = np.asarray(beta, dtype=np.float64)[:m]
+    se = np.asarray(se, dtype=np.float64)[:m]
+    score = beta / se
+    return pd.DataFrame({"estim": beta, "std.err": se, "score": score})
+
+
+@partial(jax.jit, static_argnames=("n", "block", "niter"))
+def _logreg_blocked(packed, y, C, n, block, niter):
+    """Per-variant logistic regression y ~ x + covariates by IRLS
+    (fixed niter Newton steps, vmapped over variants in a block)."""
+    m_pad, nb = packed.shape
+    blocks = packed.reshape(m_pad // block, block, nb)
+    K = C.shape[1]
+
+    def fit_one(x):
+        X = jnp.concatenate([C, x[:, None]], axis=1)      # (n, K+1)
+
+        def newton(carry, _):
+            b, _ = carry
+            eta = X @ b
+            mu = jax.nn.sigmoid(eta)
+            w = mu * (1 - mu) + 1e-12
+            # Newton step: solve (X^T W X) delta = X^T (y - mu)
+            H = X.T @ (X * w[:, None])
+            g = X.T @ (y - mu)
+            delta = jnp.linalg.solve(H, g)
+            return (b + delta, H), None
+
+        (b, H), _ = jax.lax.scan(newton, (jnp.zeros(K + 1), jnp.eye(K + 1)),
+                                 None, length=niter)
+        cov = jnp.linalg.inv(H)
+        return b[-1], jnp.sqrt(cov[-1, -1])
+
+    def body(pb):
+        d, na = unpack_dosage(pb, n)
+        cnt = jnp.sum(~na, axis=1)
+        mean = jnp.sum(d, axis=1) / jnp.maximum(cnt, 1)
+        x = jnp.where(na, mean[:, None], d)
+        return jax.vmap(fit_one)(x)
+
+    beta, se = jax.lax.map(body, blocks)
+    return beta.reshape(-1), se.reshape(-1)
+
+
+def big_univLogReg(pack, y01, covar=None, ind_row=None, block=None,
+                   niter: int = 8) -> pd.DataFrame:
+    """Per-SNP logistic regression (bigstatsr big_univLogReg surface)."""
+    sub = pack if ind_row is None else pack.subset(ind_row=np.asarray(ind_row))
+    n, m = sub.n, sub.m
+    y01 = np.asarray(y01, dtype=np.float64)
+    C = np.ones((n, 1)) if covar is None else np.column_stack(
+        [np.ones(n), np.asarray(covar)])
+    block = block or max(8, min(1024, pick_block(n) // 8))
+    packed, _ = pad_rows(np.asarray(sub.packed), block)
+    beta, se = _logreg_blocked(
+        jnp.asarray(packed), jnp.asarray(y01, dtype=jnp.float32),
+        jnp.asarray(C, dtype=jnp.float32), n, block, niter)
+    beta = np.asarray(beta, dtype=np.float64)[:m]
+    se = np.asarray(se, dtype=np.float64)[:m]
+    return pd.DataFrame({"estim": beta, "std.err": se, "score": beta / se})
+
+
+def gwas_pvalues(gwas: pd.DataFrame, log10: bool = False) -> np.ndarray:
+    """Two-sided p-values from z-scores (the reference's predict.mhtest)."""
+    z2 = (gwas["estim"] / gwas["std.err"]) ** 2
+    lp = scipy_stats.chi2.logsf(z2, df=1) / np.log(10)
+    return lp if log10 else np.power(10.0, lp)

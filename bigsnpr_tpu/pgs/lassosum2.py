@@ -1,0 +1,63 @@
+"""lassosum2: elastic-net-style coordinate descent on sparse LD.
+
+Reference: snp_lassosum2 (R/lassosum2.R:25-81) + CD kernel
+(src/lassosum2.cpp:21-70). Deterministic given (corr, df_beta, grid);
+grid points vmapped on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from bigsnpr_tpu.ops.corr import SparseLD
+from bigsnpr_tpu.pgs.band import build_band
+from bigsnpr_tpu.pgs.gibbs import lassosum_cd
+from bigsnpr_tpu.pgs.ldpred2 import _df_beta_arrays, _prep_sampler
+
+
+def seq_log(a, b, n):
+    """Log-spaced sequence (reference seq_log, R/SCT.R:167-171)."""
+    return np.exp(np.linspace(np.log(a), np.log(b), n))
+
+
+def snp_lassosum2(corr: SparseLD, df_beta, delta=(0.001, 0.01, 0.1, 1),
+                  nlambda: int = 30, lambda_min_ratio: float = 0.01,
+                  dfmax: float = 200e3, maxiter: int = 1000,
+                  tol: float = 1e-5, ind_corr=None):
+    """Returns (beta_grid (m, n_grid), grid_param DataFrame with
+    lambda/delta/num_iter/sparsity)."""
+    beta_hat, N, scale = _df_beta_arrays(df_beta)
+    band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(corr, beta_hat, N, ind_corr)
+
+    pf = np.sqrt(np.max(N) / N)
+    lambda0 = np.max(np.abs(beta_hat / pf))
+    seq_lam = seq_log(lambda0, lambda_min_ratio * lambda0, nlambda + 1)[1:]
+    # expand.grid order: lambda varies fastest within each delta
+    del_grid, lam_grid = np.meshgrid(np.asarray(delta, dtype=np.float64),
+                                     seq_lam, indexing="ij")
+    lam_grid = lam_grid.ravel()
+    del_grid = del_grid.ravel()
+
+    pf_j = jnp.asarray(pf, dtype=jnp.float32)
+    run = jax.vmap(
+        lambda lam, dlt: lassosum_cd(
+            band_sub, ind_sub, bh,
+            pf_j * lam, pf_j * dlt + 1.0,
+            jnp.float32(dfmax), jnp.float32(tol),
+            maxiter=maxiter, W=W, m2=m2),
+        in_axes=(0, 0))
+    betas, iters = run(jnp.asarray(lam_grid, dtype=jnp.float32),
+                       jnp.asarray(del_grid, dtype=jnp.float32))
+    beta_grid = np.asarray(betas, dtype=np.float64).T * scale[:, None]
+
+    grid_param = pd.DataFrame({
+        "lambda": lam_grid,
+        "delta": del_grid,
+        "num_iter": np.asarray(iters),
+        "sparsity": np.mean(np.asarray(betas) == 0, axis=1),
+    })
+    return beta_grid, grid_param

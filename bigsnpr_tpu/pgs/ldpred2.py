@@ -1,0 +1,161 @@
+"""LDpred2: infinitesimal, grid, and auto models.
+
+Reference: R/LDpred2.R + src/ldpred2*.cpp. The scale/unscale contract:
+scale = sqrt(n_eff * beta_se^2 + beta^2); the samplers operate on
+beta_hat = beta / scale and results are multiplied back
+(reference R/LDpred2.R:34-41, 88-90, 139, 224-226, 257).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+import jax
+import jax.numpy as jnp
+
+from bigsnpr_tpu.ops.corr import SparseLD
+from bigsnpr_tpu.ops.ldscores import ld_scores_sfbm
+from bigsnpr_tpu.pgs.band import build_band
+from bigsnpr_tpu.pgs import gibbs
+
+
+def _df_beta_arrays(df_beta):
+    beta = np.asarray(df_beta["beta"], dtype=np.float64)
+    beta_se = np.asarray(df_beta["beta_se"], dtype=np.float64)
+    n_eff = np.asarray(df_beta["n_eff"], dtype=np.float64)
+    assert np.all(beta_se > 0), "beta_se must be positive"
+    scale = np.sqrt(n_eff * beta_se**2 + beta**2)
+    return beta / scale, n_eff, scale
+
+
+def snp_ldpred2_inf(corr: SparseLD, df_beta, h2: float) -> np.ndarray:
+    """Infinitesimal model: solve (R + m/(h2 N) I) x = beta_hat on the
+    sparse LD (reference snp_ldpred2_inf, R/LDpred2.R:27-42). Deterministic;
+    exact sparse solve."""
+    assert h2 > 0
+    beta_hat, N, scale = _df_beta_arrays(df_beta)
+    m = corr.shape[0]
+    assert len(beta_hat) == m, "corr and df_beta dims must match"
+    A = corr.sym().tocsc().astype(np.float64) + sp.diags(m / (h2 * N))
+    beta_inf = spla.spsolve(A, beta_hat)
+    return beta_inf * scale
+
+
+def _prep_sampler(corr, beta_hat, N, ind_corr, dtype=np.float32):
+    band, W = build_band(corr, dtype=dtype)
+    m2 = corr.shape[0]
+    if ind_corr is None:
+        ind_corr = np.arange(m2)
+    ind_corr = np.asarray(ind_corr, dtype=np.int32)
+    assert len(beta_hat) == len(ind_corr)
+    band_sub = jnp.asarray(band[ind_corr])
+    return (band_sub, jnp.asarray(ind_corr),
+            jnp.asarray(beta_hat, dtype=dtype), jnp.asarray(N, dtype=dtype),
+            W, m2)
+
+
+def snp_ldpred2_grid(corr: SparseLD, df_beta, grid_param,
+                     burn_in: int = 50, num_iter: int = 100,
+                     return_sampling_betas: bool = False,
+                     ind_corr=None, seed: int = 1) -> np.ndarray:
+    """Grid model (reference snp_ldpred2_grid, R/LDpred2.R:73-140).
+
+    grid_param: dict/DataFrame with p, h2, sparse columns. Returns an
+    (m, n_grid) matrix of effects on the allele scale (NaN on divergence),
+    or the (num_iter, m)-sampling betas when return_sampling_betas.
+    """
+    beta_hat, N, scale = _df_beta_arrays(df_beta)
+    band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(corr, beta_hat, N, ind_corr)
+    p_grid = np.atleast_1d(np.asarray(grid_param["p"], dtype=np.float64))
+    h2_grid = np.atleast_1d(np.asarray(grid_param["h2"], dtype=np.float64))
+    sp_grid = np.atleast_1d(np.asarray(grid_param["sparse"], dtype=bool))
+    assert np.all(h2_grid > 0)
+
+    key = jax.random.PRNGKey(seed)
+
+    if return_sampling_betas:
+        assert len(p_grid) == 1, "only one set of parameters allowed"
+        samples = gibbs.gibbs_one_sampling(
+            band_sub, ind_sub, bh, nv,
+            jnp.float32(h2_grid[0]), jnp.float32(p_grid[0]), bool(sp_grid[0]),
+            key, burn_in, num_iter, W, m2)
+        return np.asarray(samples).T * scale[:, None]  # (m, num_iter)
+
+    keys = jax.random.split(key, len(p_grid))
+    run = jax.vmap(
+        lambda h2, p, sprs, k: gibbs.gibbs_one(
+            band_sub, ind_sub, bh, nv, h2, p, sprs, k,
+            burn_in=burn_in, num_iter=num_iter, W=W, m2=m2),
+        in_axes=(0, 0, 0, 0))
+    out = run(jnp.asarray(h2_grid, dtype=jnp.float32),
+              jnp.asarray(p_grid, dtype=jnp.float32),
+              jnp.asarray(sp_grid), keys)          # (n_grid, m)
+    return np.asarray(out).T * scale[:, None]
+
+
+def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
+                     vec_p_init=0.1, burn_in: int = 500, num_iter: int = 200,
+                     sparse: bool = False, report_step: int | None = None,
+                     allow_jump_sign: bool = True, shrink_corr: float = 1.0,
+                     use_MLE: bool = True, p_bounds=(1e-5, 1.0),
+                     alpha_bounds=(-1.5, 0.5), ind_corr=None,
+                     seed: int = 1) -> list[dict]:
+    """Auto model (reference snp_ldpred2_auto, R/LDpred2.R:203-286).
+
+    Returns a list (over vec_p_init) of dicts with beta_est, postp_est,
+    corr_est, sample_beta, path_{p,h2,alpha}_est, {h2,p,alpha}_est,
+    h2_init, p_init (and beta_est_sparse when sparse=True).
+    """
+    assert h2_init > 0
+    beta_hat, N, scale = _df_beta_arrays(df_beta)
+    sd = 1.0 / scale
+    log_var = 2.0 * np.log(sd)
+    band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(corr, beta_hat, N, ind_corr)
+    lv = jnp.asarray(log_var, dtype=jnp.float32)
+    if ind_corr is None:
+        ind_corr_np = np.arange(m2)
+    else:
+        ind_corr_np = np.asarray(ind_corr)
+    mean_ld = float(np.mean(ld_scores_sfbm(corr, ind_sub=ind_corr_np)))
+
+    if report_step is None:
+        report_step = num_iter + 1
+
+    vec_p_init = np.atleast_1d(np.asarray(vec_p_init, dtype=np.float64))
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, len(vec_p_init))
+
+    run = jax.vmap(
+        lambda p0, k: gibbs.gibbs_auto(
+            band_sub, ind_sub, bh, nv, lv,
+            p0, jnp.float32(h2_init), k,
+            jnp.float32(shrink_corr),
+            jnp.asarray(p_bounds, dtype=jnp.float32),
+            jnp.asarray(np.asarray(alpha_bounds) + 1, dtype=jnp.float32),
+            jnp.float32(mean_ld),
+            burn_in=burn_in, num_iter=num_iter, report_step=report_step,
+            W=W, m2=m2, use_mle=use_MLE,
+            no_jump_sign=not allow_jump_sign),
+        in_axes=(0, 0))
+    outs = run(jnp.asarray(vec_p_init, dtype=jnp.float32), keys)
+
+    results = []
+    for c in range(len(vec_p_init)):
+        res = {k: np.asarray(v[c], dtype=np.float64) for k, v in outs.items()}
+        res["beta_est"] = res["beta_est"] / sd
+        res["h2_est"] = float(np.mean(res["path_h2_est"][-num_iter:]))
+        res["p_est"] = float(np.mean(res["path_p_est"][-num_iter:]))
+        res["alpha_est"] = float(np.mean(res["path_alpha_est"][-num_iter:]))
+        res["h2_init"] = h2_init
+        res["p_init"] = float(vec_p_init[c])
+        if sparse and np.isfinite(res["h2_est"]):
+            bg = gibbs.gibbs_one(
+                band_sub, ind_sub, bh, nv,
+                jnp.float32(res["h2_est"]), jnp.float32(res["p_est"]), True,
+                jax.random.fold_in(keys[c], 12345),
+                burn_in=50, num_iter=100, W=W, m2=m2)
+            res["beta_est_sparse"] = np.asarray(bg, dtype=np.float64) / sd
+        results.append(res)
+    return results
