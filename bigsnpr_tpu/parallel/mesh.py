@@ -1,0 +1,137 @@
+"""Device-mesh sharding for genotype linear algebra.
+
+The reference is single-node (SURVEY.md §2.8: OpenMP threads + foreach
+processes, no distributed backend). The TPU design shards the packed
+genotype matrix over a 2-D mesh:
+
+  axis 's' (samples): the packed byte axis — data parallel for
+      matvec/SVD/GRM/scoring; partial products reduce with psum over ICI
+      (the reference's per-thread accumulator + final rowSums,
+      src/bed-prod-vec.cpp:27-53, becomes a collective).
+  axis 'v' (variants): variant blocks — parallel for LD/clumping/
+      per-variant stats; prod-side reductions psum over 'v'.
+
+One power-iteration step X̃(X̃ᵀQ) exercises both collectives; this is the
+communication pattern of the whole framework.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from bigsnpr_tpu.core.unpack import unpack_standardized
+
+
+def factor_mesh(n_devices: int) -> tuple[int, int]:
+    """Factor n_devices into (samples, variants) axes, near-square."""
+    s = int(np.sqrt(n_devices))
+    while n_devices % s:
+        s -= 1
+    return s, n_devices // s
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    s, v = factor_mesh(len(devices))
+    return Mesh(np.asarray(devices).reshape(s, v), axis_names=("s", "v"))
+
+
+def shard_pack(pack, mesh: Mesh):
+    """Pad + place the packed genotype matrix on the mesh.
+
+    Returns (packed (m_pad, nb_pad) sharded P('v','s'), n, m, n_pad).
+    Samples are padded to a multiple of 4*|s| (pad decodes as NA -> 0
+    after masking: we pad with byte 0b01010101 = all-NA).
+    """
+    s_size = mesh.shape["s"]
+    v_size = mesh.shape["v"]
+    packed = np.asarray(pack.packed)
+    m, nb = packed.shape
+    n = pack.n
+    # the last partial byte may hold zero-pad bits (decode as dosage 2!);
+    # rewrite tail bytes so padding decodes as NA
+    n_rem = n % 4
+    if n_rem:
+        tail = packed[:, -1].astype(np.uint16)
+        keep_mask = (1 << (2 * n_rem)) - 1
+        na_fill = sum(0b01 << (2 * k) for k in range(n_rem, 4))
+        packed = packed.copy()
+        packed[:, -1] = ((tail & keep_mask) | na_fill).astype(np.uint8)
+    nb_pad = -(-nb // s_size) * s_size
+    m_pad = -(-m // v_size) * v_size
+    out = np.full((m_pad, nb_pad), 0b01010101, dtype=np.uint8)  # all-NA pad
+    out[:m, :nb] = packed
+    arr = jax.device_put(
+        jnp.asarray(out),
+        jax.sharding.NamedSharding(mesh, P("v", "s")))
+    return arr, n, m, nb_pad * 4
+
+
+def power_iter_fn(mesh: Mesh, n_pad: int, precision="highest"):
+    """Jitted sharded fn: (packed, Q, center, scale) -> X̃(X̃ᵀ Q).
+
+    packed: (m_pad, nb_pad) P('v','s'); Q: (n_pad, l) P('s', None);
+    center/scale: (m_pad,) P('v'). Output: (n_pad, l) P('s', None).
+    NA decoding masks the sample padding automatically (NA -> 0).
+    """
+
+    def local(packed_loc, Q_loc, c_loc, s_loc):
+        n_loc = packed_loc.shape[1] * 4
+        xt = unpack_standardized(packed_loc, n_loc, c_loc, s_loc)
+        z_part = jnp.dot(xt, Q_loc, preferred_element_type=jnp.float32,
+                         precision=precision)
+        z = jax.lax.psum(z_part, "s")            # (m_loc, l)
+        y_part = jnp.dot(xt.T, z, preferred_element_type=jnp.float32,
+                         precision=precision)
+        return jax.lax.psum(y_part, "v")         # (n_loc, l)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("v", "s"), P("s", None), P("v"), P("v")),
+        out_specs=P("s", None),
+    )
+    return jax.jit(fn)
+
+
+def cprod_fn(mesh: Mesh, precision="highest"):
+    """Jitted sharded X̃ᵀ V: (packed, V, center, scale) -> (m_pad, l) P('v')."""
+
+    def local(packed_loc, V_loc, c_loc, s_loc):
+        n_loc = packed_loc.shape[1] * 4
+        xt = unpack_standardized(packed_loc, n_loc, c_loc, s_loc)
+        z = jnp.dot(xt, V_loc, preferred_element_type=jnp.float32,
+                    precision=precision)
+        return jax.lax.psum(z, "s")
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("v", "s"), P("s", None), P("v"), P("v")),
+        out_specs=P("v", None)))
+
+
+def colstats_fn(mesh: Mesh):
+    """Jitted sharded per-variant (sum, ssq, nona) with psum over samples."""
+    from bigsnpr_tpu.core.unpack import unpack_codes
+
+    def local(packed_loc):
+        n_loc = packed_loc.shape[1] * 4
+        codes = unpack_codes(packed_loc, n_loc)
+        na = codes == 1
+        d = jnp.where(na, 0, 2 - ((codes + 1) >> 1)).astype(jnp.float32)
+        sums = jnp.stack([
+            jnp.sum(d, axis=1),
+            jnp.sum(d * d, axis=1),
+            jnp.sum(~na, axis=1).astype(jnp.float32),
+        ])
+        return jax.lax.psum(sums, "s")
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P("v", "s"),), out_specs=P(None, "v")))

@@ -1,0 +1,94 @@
+"""Shard-count invariance on the virtual 8-device CPU mesh — the
+distributed analog of the reference's ncores=1 vs 2 bit-equality suite
+(reference tests/testthat/test-7-OpenMP.R)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from bigsnpr_tpu import snp_fake, bed_scaleBinom
+from bigsnpr_tpu.parallel import mesh as pmesh
+from tests.conftest import dense_standardized
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+def _run_power_iter(pack, n_devices, l=4, seed=0):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+
+    mesh = pmesh.make_mesh(n_devices)
+    packed, n, m, n_pad = pmesh.shard_pack(pack, mesh)
+    m_pad = packed.shape[0]
+    sc = bed_scaleBinom(pack)
+    center = np.zeros(m_pad, dtype=np.float32)
+    scale = np.ones(m_pad, dtype=np.float32)
+    center[:m] = sc["center"]
+    scale[:m] = np.where(sc["scale"] > 0, sc["scale"], 1.0)
+    Qh = np.random.default_rng(seed).standard_normal((n_pad, l)).astype(np.float32)
+    Qh[n:] = 0
+
+    out = pmesh.power_iter_fn(mesh, n_pad)(
+        jax.device_put(jnp.asarray(packed)),
+        jax.device_put(jnp.asarray(Qh), NamedSharding(mesh, P("s", None))),
+        jax.device_put(jnp.asarray(center), NamedSharding(mesh, P("v"))),
+        jax.device_put(jnp.asarray(scale), NamedSharding(mesh, P("v"))))
+    return np.asarray(out)[:n], sc
+
+
+@needs_8
+def test_power_iter_shard_invariance():
+    pack = snp_fake(103, 57, seed=21, na_prob=0.06)
+    out8, sc = _run_power_iter(pack, 8)
+    out1, _ = _run_power_iter(pack, 1)
+    np.testing.assert_allclose(out8, out1, rtol=2e-4, atol=2e-4)
+
+
+@needs_8
+def test_colstats_shard_invariance():
+    pack = snp_fake(90, 41, seed=22, na_prob=0.1)
+    import jax.numpy as jnp
+
+    outs = []
+    for nd in (8, 2, 1):
+        mesh = pmesh.make_mesh(nd)
+        packed, n, m, n_pad = pmesh.shard_pack(pack, mesh)
+        stats = np.asarray(pmesh.colstats_fn(mesh)(packed))[:, :m]
+        outs.append(stats)
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-6)
+    # oracle
+    X = pack.to_dosage()
+    np.testing.assert_allclose(outs[0][0], np.nansum(X, 0), rtol=1e-6)
+    np.testing.assert_allclose(outs[0][2], (~np.isnan(X)).sum(0), rtol=1e-6)
+
+
+@needs_8
+def test_sharded_cprod_matches_dense():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+
+    pack = snp_fake(66, 30, seed=23, na_prob=0.05)
+    mesh = pmesh.make_mesh(8)
+    packed, n, m, n_pad = pmesh.shard_pack(pack, mesh)
+    m_pad = packed.shape[0]
+    sc = bed_scaleBinom(pack)
+    center = np.zeros(m_pad, dtype=np.float32)
+    scale = np.ones(m_pad, dtype=np.float32)
+    center[:m] = sc["center"]
+    scale[:m] = np.where(sc["scale"] > 0, sc["scale"], 1.0)
+    V = np.zeros((n_pad, 3), dtype=np.float32)
+    V[:n] = np.random.default_rng(1).standard_normal((n, 3))
+
+    out = pmesh.cprod_fn(mesh)(
+        jax.device_put(jnp.asarray(packed)),
+        jax.device_put(jnp.asarray(V), NamedSharding(mesh, P("s", None))),
+        jax.device_put(jnp.asarray(center), NamedSharding(mesh, P("v"))),
+        jax.device_put(jnp.asarray(scale), NamedSharding(mesh, P("v"))))
+    Xt = dense_standardized(pack, sc["center"],
+                            np.where(sc["scale"] > 0, sc["scale"], 1.0))
+    np.testing.assert_allclose(np.asarray(out)[:m], Xt.T @ V[:n],
+                               rtol=2e-4, atol=2e-4)
