@@ -1,0 +1,197 @@
+"""Stacked Clumping + Thresholding (SCT).
+
+Reference: snp_grid_clumping / snp_grid_PRS / snp_grid_stacking
+(R/SCT.R:32-304). TPU re-design of the grid clumping: instead of the
+reference's memoized per-pair r^2 cache shared across the 28 (size x thr)
+cells (src/clumping-cached.cpp), we compute the banded r^2 ONCE per
+chromosome at the widest window and re-run the cheap conflict-graph fixed
+point per grid cell — every cell reuses the same device GEMM output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from bigsnpr_tpu.ops.corr import _iter_band_blocks, _pair_r, _window_geometry
+from bigsnpr_tpu.ops.clumping import _greedy_fixed_point
+from bigsnpr_tpu.pgs.prs import snp_PRS
+from bigsnpr_tpu.pgs.lassosum2 import seq_log
+from bigsnpr_tpu.linalg.penalized import big_spReg
+
+
+def _banded_r2(sub, pos, max_size, block=512):
+    """All window pairs (i < j, |pos_i - pos_j| <= max_size) with their r^2."""
+    n, m = sub.n, sub.m
+    left_start = _window_geometry(pos, max_size)
+    ei, ej, r2 = [], [], []
+    for t0, t1, b0, sums in _iter_band_blocks(sub.packed, n, m, left_start, block):
+        r, _ = _pair_r(sums)
+        jj0 = np.arange(t0, t1)[:, None]
+        jj = np.arange(b0, t1)[None, :]
+        in_window = (jj < jj0) & (jj >= left_start[jj0])
+        a, b = np.nonzero(in_window)
+        if a.size:
+            ej.append(jj0[a, 0])
+            ei.append(jj[0, b])
+            with np.errstate(invalid="ignore"):
+                r2.append((r * r)[a, b])
+    if not ei:
+        z = np.array([], dtype=np.int64)
+        return z, z, np.array([])
+    return np.concatenate(ei), np.concatenate(ej), np.concatenate(r2)
+
+
+def snp_grid_clumping(
+    pack, infos_chr, infos_pos, lpS,
+    ind_row=None,
+    grid_thr_r2=(0.01, 0.05, 0.1, 0.2, 0.5, 0.8, 0.95),
+    grid_base_size=(50, 100, 200, 500),
+    infos_imp=None, grid_thr_imp=(1,),
+    groups=None, exclude=None, block=512,
+):
+    """Grid of clumpings (reference snp_grid_clumping, R/SCT.R:32-151).
+
+    Returns (all_keep: {chr: [kept index arrays, grid-ordered]}, grid df).
+    """
+    m_all = pack.m
+    infos_chr = np.asarray(infos_chr)
+    infos_pos = np.asarray(infos_pos, dtype=np.float64)
+    lpS = np.asarray(lpS, dtype=np.float64)
+    infos_imp = (np.ones(m_all) if infos_imp is None
+                 else np.asarray(infos_imp, dtype=np.float64))
+    groups = [np.arange(m_all)] if groups is None else [np.asarray(g) for g in groups]
+
+    THR_IMP = np.sort(np.unique(grid_thr_imp))
+    THR_CLMP = np.sort(np.unique(grid_thr_r2))
+    BASE_SIZE = np.sort(np.unique(grid_base_size))
+
+    # grid rows: size fastest, then thr.r2, then group, then thr.imp
+    rows = []
+    for thr_imp in THR_IMP:
+        for g in range(len(groups)):
+            for thr in THR_CLMP:
+                for base in BASE_SIZE:
+                    rows.append((int(base / thr), thr, g + 1, thr_imp))
+    grid = pd.DataFrame(rows, columns=["size", "thr.r2", "grp.num", "thr.imp"])
+
+    ind_noexcl = np.arange(m_all)
+    if exclude is not None:
+        ind_noexcl = np.setdiff1d(ind_noexcl, np.asarray(exclude))
+
+    max_size = 1000.0 * BASE_SIZE.max() / THR_CLMP.min()
+
+    all_keep = {}
+    for chrom in np.unique(infos_chr[ind_noexcl]):
+        ind_chr0 = ind_noexcl[infos_chr[ind_noexcl] == chrom]
+        keep_list = []
+        sub0 = pack.subset(ind_row=ind_row, ind_col=ind_chr0)
+        pos0 = infos_pos[ind_chr0]
+        assert np.all(np.diff(pos0) >= 0), "positions must be sorted"
+        # one banded r^2 at the widest window for the whole grid
+        ei0, ej0, r20 = _banded_r2(sub0, pos0, max_size, block=block)
+
+        for thr_imp in THR_IMP:
+            sel_imp = infos_imp[ind_chr0] >= thr_imp
+            for group in groups:
+                in_grp = sel_imp & np.isin(ind_chr0, group)
+                idx = np.nonzero(in_grp)[0]       # local indices in chr
+                if len(idx) == 0:
+                    for thr in THR_CLMP:
+                        for base in BASE_SIZE:
+                            keep_list.append(np.array([], dtype=np.int64))
+                    continue
+                remap = np.full(len(ind_chr0), -1, dtype=np.int64)
+                remap[idx] = np.arange(len(idx))
+                emask = in_grp[ei0] & in_grp[ej0]
+                ei, ej, r2 = remap[ei0[emask]], remap[ej0[emask]], r20[emask]
+                pos_g = pos0[idx]
+                S_g = lpS[ind_chr0[idx]]
+                ord_ = np.argsort(-S_g, kind="stable")
+                rank = np.empty(len(idx), dtype=np.int64)
+                rank[ord_] = np.arange(len(idx))
+                dist = np.abs(pos_g[ej] - pos_g[ei])
+
+                for thr in THR_CLMP:
+                    for base in BASE_SIZE:
+                        size_bp = 1000.0 * base / thr
+                        sel = (dist <= size_bp) & (r2 > thr)
+                        keep = _greedy_fixed_point(
+                            len(idx), rank, ei[sel], ej[sel])
+                        keep_list.append(ind_chr0[idx[keep]])
+        all_keep[int(chrom)] = keep_list
+    return all_keep, grid
+
+
+@dataclass
+class GridPRS:
+    """C+T scores for the whole grid (the reference's multi_PRS FBM +
+    attributes, R/SCT.R:236-245)."""
+
+    scores: np.ndarray          # (n, n_keep_sets * n_thr)
+    lpS: np.ndarray
+    grid_lpS_thr: np.ndarray
+    betas: np.ndarray
+    all_keep: dict
+
+
+def snp_grid_PRS(pack, all_keep, betas, lpS, n_thr_lpS=50, grid_lpS_thr=None,
+                 ind_row=None) -> GridPRS:
+    """Reference snp_grid_PRS (R/SCT.R:201-246)."""
+    betas = np.asarray(betas, dtype=np.float64)
+    lpS = np.asarray(lpS, dtype=np.float64)
+    if grid_lpS_thr is None:
+        grid_lpS_thr = 0.9999 * seq_log(
+            max(0.1, np.nanmin(lpS)), np.nanmax(lpS), n_thr_lpS)
+    grid_lpS_thr = np.asarray(grid_lpS_thr)
+    n_thr = len(grid_lpS_thr)
+
+    keep_sets = [k for chrom in sorted(all_keep) for k in all_keep[chrom]]
+    sub = pack if ind_row is None else pack.subset(ind_row=np.asarray(ind_row))
+    scores = np.zeros((sub.n, len(keep_sets) * n_thr), dtype=np.float32)
+    for ic, ind_keep in enumerate(keep_sets):
+        if len(ind_keep) == 0:
+            continue
+        prs = snp_PRS(sub, betas[ind_keep], ind_keep=ind_keep,
+                      lpS_keep=lpS[ind_keep], thr_list=grid_lpS_thr)
+        scores[:, ic * n_thr:(ic + 1) * n_thr] = prs
+    return GridPRS(scores=scores, lpS=lpS, grid_lpS_thr=grid_lpS_thr,
+                   betas=betas, all_keep=all_keep)
+
+
+def snp_grid_stacking(multi_PRS: GridPRS, y_train,
+                      alphas=(1.0, 0.01, 0.0001), **kw):
+    """Reference snp_grid_stacking (R/SCT.R:266-304): penalized stacking
+    over all grid scores, then unroll stacking weights back to per-variant
+    effects via the cumulative-sum trick (R/SCT.R:287-295)."""
+    y_train = np.asarray(y_train, dtype=np.float64)
+    lpS = multi_PRS.lpS
+    lpS_thr = multi_PRS.grid_lpS_thr
+    beta_gwas = multi_PRS.betas
+    all_keep = multi_PRS.all_keep
+
+    mod = big_spReg(multi_PRS.scores, y_train, alphas=alphas, **kw)
+    beta_stacking = mod.beta
+
+    # unroll: a variant contributes to every threshold column with
+    # thr < its lpS, so its unrolled weight is the cumsum of the
+    # stacking weights over the thresholds it passes
+    ind_last_thr = 1 + np.array([(lp > lpS_thr).sum() for lp in lpS])
+    coef = np.zeros(len(beta_gwas))
+    n_thr = len(lpS_thr)
+    offset = 0
+    for chrom in sorted(all_keep):
+        for ind_keep in all_keep[chrom]:
+            b = beta_stacking[offset:offset + n_thr]
+            b2 = np.r_[0, np.cumsum(b)]
+            if len(ind_keep):
+                coef[ind_keep] += b2[ind_last_thr[ind_keep] - 1]
+            offset += n_thr
+    return {
+        "intercept": mod.intercept,
+        "beta.G": coef * beta_gwas,
+        "beta.covar": np.array([]),
+        "mod": mod,
+    }
