@@ -45,5 +45,20 @@ from bigsnpr_tpu.ops.corr import snp_cor, bed_cor, SparseLD
 from bigsnpr_tpu.ops.ldscores import snp_ld_scores, bed_ld_scores, ld_scores_sfbm
 from bigsnpr_tpu.ops.clumping import snp_clumping, bed_clumping, snp_indLRLDR
 from bigsnpr_tpu.pca.autosvd import snp_autoSVD, bed_autoSVD
+from bigsnpr_tpu.ops.splitld import snp_ldsplit
+from bigsnpr_tpu.pgs.ldsc import snp_ldsc, snp_ldsc2, coef_to_liab
+from bigsnpr_tpu.pgs.ldpred2 import (
+    snp_ldpred2_inf, snp_ldpred2_grid, snp_ldpred2_auto,
+)
+from bigsnpr_tpu.pgs.lassosum2 import snp_lassosum2, seq_log
+from bigsnpr_tpu.pgs.prs import snp_PRS, snp_thr_correct
+from bigsnpr_tpu.pgs.sct import snp_grid_clumping, snp_grid_PRS, snp_grid_stacking
+from bigsnpr_tpu.assoc.gwas import big_univLinReg, big_univLogReg
+from bigsnpr_tpu.assoc.simu import snp_simuPheno
+from bigsnpr_tpu.assoc.pcadapt import snp_pcadapt, bed_pcadapt
+from bigsnpr_tpu.assoc.max3 import snp_MAX3
+from bigsnpr_tpu.assoc.fst import snp_fst
+from bigsnpr_tpu.assoc.mhtest import MHTest, snp_gc, snp_qq, snp_manhattan
+from bigsnpr_tpu.utils.match import snp_match, same_ref, snp_asGeneticPos
 
 __version__ = "0.1.0"
