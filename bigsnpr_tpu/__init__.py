@@ -60,5 +60,18 @@ from bigsnpr_tpu.assoc.max3 import snp_MAX3
 from bigsnpr_tpu.assoc.fst import snp_fst
 from bigsnpr_tpu.assoc.mhtest import MHTest, snp_gc, snp_qq, snp_manhattan
 from bigsnpr_tpu.utils.match import snp_match, same_ref, snp_asGeneticPos
+from bigsnpr_tpu.utils.impute import snp_fastImpute, snp_fastImputeSimple
+from bigsnpr_tpu.ops.grm import bed_tcrossprodSelf, bed_GRM
+from bigsnpr_tpu.pca.ancestry import snp_ancestry_summary
+from bigsnpr_tpu.pca.project import (
+    bed_projectPCA, bed_projectSelfPCA, snp_projectSelfPCA, pca_OADP_proj,
+)
+from bigsnpr_tpu.core.dosage import DosagePack
+from bigsnpr_tpu.io.bgen import snp_readBGEN, snp_readBGI, snp_prodBGEN
+from bigsnpr_tpu.utils.external import (
+    snp_plinkQC, snp_plinkIBDQC, snp_plinkKINGQC, snp_plinkRmSamples,
+    snp_beagleImpute, snp_modifyBuild, download_plink, download_plink2,
+    download_beagle,
+)
 
 __version__ = "0.1.0"

@@ -1,0 +1,54 @@
+"""Byte-coded dosage container (the FBM.code256 analog).
+
+For imputed data (BGEN), a 2-bit packing cannot hold 201 dosage levels;
+we keep one byte per genotype plus a 256-entry decode table
+(reference R/bigSNP-class.R:13 CODE_DOSAGE), variant-major like GenoPack.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from bigsnpr_tpu.core.codes import CODE_DOSAGE
+from bigsnpr_tpu.core import unpack
+from bigsnpr_tpu.core.genotypes import GenoPack
+
+
+@dataclass
+class DosagePack:
+    """codes: (m, n) uint8, decoded through code256."""
+
+    codes: np.ndarray
+    n: int
+    code256: np.ndarray = None
+    fam: Optional[pd.DataFrame] = None
+    map: Optional[pd.DataFrame] = None
+
+    def __post_init__(self):
+        if self.code256 is None:
+            self.code256 = CODE_DOSAGE
+
+    @property
+    def m(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def shape(self):
+        return (self.n, self.m)
+
+    def to_dosage(self) -> np.ndarray:
+        """(n, m) float dosages with NaN for missing."""
+        return self.code256[self.codes].T
+
+    def round_to_hardcalls(self) -> GenoPack:
+        """Round dosages to hard calls (NaN kept missing) -> GenoPack."""
+        d = self.code256[self.codes]  # (m, n)
+        hard = np.rint(d)
+        hard[np.isnan(d)] = np.nan
+        return GenoPack(packed=unpack.np_pack_codes(
+            unpack.np_dosage_to_codes(hard)), n=self.n,
+            fam=self.fam, map=self.map)
