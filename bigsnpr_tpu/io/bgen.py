@@ -91,9 +91,8 @@ def check_bgen_format(bgenfile) -> int:
     return N
 
 
-def _read_variant_raw(buf, offset, ind_row, N):
-    """Parse one variant block; returns (id, e = 2*p0+p1, missing mask, p
-    pair array) for the selected rows."""
+def _parse_variant_header(buf, offset, N):
+    """Parse the variant-id fields; returns (id, geno_offset, comp_size)."""
     off = offset
     vid, off = _read_string(buf, off)
     rsid, off = _read_string(buf, off)
@@ -110,7 +109,14 @@ def _read_variant_raw(buf, offset, ind_row, N):
     off += 4
     if D != 10 + 3 * N:
         raise ValueError("Probabilities should be stored using 8 bits.")
-    raw = zlib.decompress(buf[off:off + C - 4], bufsize=D)
+    return vid, off, C - 4
+
+
+def _read_variant_raw(buf, offset, ind_row, N):
+    """Parse one variant block; returns (id, e = 2*p0+p1, missing mask, p
+    pair array) for the selected rows."""
+    vid, off, csize = _parse_variant_header(buf, offset, N)
+    raw = zlib.decompress(buf[off:off + csize], bufsize=10 + 3 * N)
 
     data = np.frombuffer(raw, dtype=np.uint8)
     ploidy = data[8:8 + N]
@@ -172,14 +178,36 @@ def snp_readBGEN(bgenfiles, list_snp_id, ind_row=None, bgi_dir=None,
                if bgi_dir else Path(str(bgenfile) + ".bgi"))
         info = snp_readBGI(bgi, list_snp_id[ic])
         buf = Path(bgenfile).read_bytes()
-        ids, INFO, FREQ = [], [], []
-        for start in info["file_start_position"]:
-            vid, codes, inf, frq = _read_variant(
-                buf, int(start), ind_row, dosage, N, rng)
+        starts = [int(s) for s in info["file_start_position"]]
+        ids, geno_offs, comp_sizes = [], [], []
+        for start in starts:
+            vid, goff, csize = _parse_variant_header(buf, start, N)
             ids.append(vid)
-            INFO.append(inf)
-            FREQ.append(frq)
-            codes_list.append(codes)
+            geno_offs.append(goff)
+            comp_sizes.append(csize)
+
+        native = None
+        try:
+            from bigsnpr_tpu import native as native_mod
+
+            native = native_mod.bgen_decode_variants(
+                buf, geno_offs, comp_sizes, N, ind_row, dosage,
+                seed=0 if seed is None else seed)
+        except Exception:
+            native = None
+
+        if native is not None and dosage:
+            codes_arr, INFO, FREQ = native
+            codes_list.extend(codes_arr)
+            INFO, FREQ = list(INFO), list(FREQ)
+        else:
+            INFO, FREQ = [], []
+            for start in starts:
+                _, codes, inf, frq = _read_variant(
+                    buf, int(start), ind_row, dosage, N, rng)
+                INFO.append(inf)
+                FREQ.append(frq)
+                codes_list.append(codes)
         infos.append(pd.DataFrame({
             "chromosome": info["chromosome"],
             "marker.ID": ids,

@@ -1,0 +1,214 @@
+"""Pallas TPU kernels: fused 2-bit decode + standardized GEMM.
+
+The XLA path materializes the decoded f32 matrix to HBM between the
+decode and the matmul (16x the packed bytes, written once and read once
+per op). These kernels decode inside VMEM tiles and feed the MXU
+directly, so each matvec pass reads only the packed bytes.
+
+Sample-order trick: a byte holds samples {4b, 4b+1, 4b+2, 4b+3}; lane-
+interleaving them in-kernel is expensive, so the kernels compute in a
+*bit-plane permuted* sample order (all samples = 0 mod 4 of the tile,
+then 1 mod 4, ...) and the host permutes Q/V rows to match — valid
+because matvec contracts over samples. `sample_perm(n_pad)` gives the
+permutation.
+
+Layout per sample-tile of 512 samples: packed bytes tile (TM, 128);
+decode yields 4 planes (TM, 128) concatenated -> (TM, 512).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TM = 256          # variant-tile rows
+TNB = 128         # byte-tile lanes (= 512 samples)
+TN = 4 * TNB
+
+
+def sample_perm(n_pad: int) -> np.ndarray:
+    """Permutation p with kernel-sample k == true-sample p[k]."""
+    assert n_pad % TN == 0
+    tiles = n_pad // TN
+    base = np.arange(TNB)
+    perm = []
+    for t in range(tiles):
+        for k in range(4):
+            perm.append(TN * t + 4 * base + k)
+    return np.concatenate(perm)
+
+
+def _decode_tile(pb, c_row, s_row):
+    """(TM, TNB) uint8 + per-variant center/scale (TM, 1) -> (TM, TN) f32
+    standardized, NA -> 0, in bit-plane order."""
+    pb32 = pb.astype(jnp.int32)
+    planes = []
+    for k in range(4):
+        g = (pb32 >> (2 * k)) & 3
+        na = g == 1
+        d = (2 - ((g + 1) >> 1)).astype(jnp.float32)
+        xt = (d - c_row) * s_row
+        planes.append(jnp.where(na, 0.0, xt))
+    return jnp.concatenate(planes, axis=1)
+
+
+def _cprod_kernel(pb_ref, q_ref, cs_ref, out_ref):
+    j = pl.program_id(1)
+    c_row = cs_ref[0, :].reshape(-1, 1)
+    s_row = cs_ref[1, :].reshape(-1, 1)
+    xt = _decode_tile(pb_ref[...], c_row, s_row)      # (TM, TN)
+    part = jax.lax.dot_general(
+        q_ref[...], xt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # (l, TM)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_cprod(packed, Qp, cs, interpret=False):
+    """X̃ᵀ-product: (m, nb) packed, Qp (l, n_pad) permuted, cs (2+, m)
+    [center; 1/scale] -> (l, m). l must be a multiple of 8."""
+    m, nb = packed.shape
+    l = Qp.shape[0]
+    grid = (m // TM, nb // TNB)
+    return pl.pallas_call(
+        _cprod_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TNB), lambda i, j: (i, j)),
+            pl.BlockSpec((l, TN), lambda i, j: (0, j)),
+            pl.BlockSpec((cs.shape[0], TM), lambda i, j: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((l, TM), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((l, m), jnp.float32),
+        interpret=interpret,
+    )(packed, Qp, cs)
+
+
+def _prod_kernel(pb_ref, z_ref, cs_ref, out_ref):
+    i = pl.program_id(1)
+    c_row = cs_ref[0, :].reshape(-1, 1)
+    s_row = cs_ref[1, :].reshape(-1, 1)
+    xt = _decode_tile(pb_ref[...], c_row, s_row)      # (TM, TN)
+    part = jnp.dot(z_ref[...], xt, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # (l, TN)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_prod(packed, Zt, cs, interpret=False):
+    """X̃-product: Zt (l, m) -> (l, n_pad) permuted-sample outputs."""
+    m, nb = packed.shape
+    l = Zt.shape[0]
+    grid = (nb // TNB, m // TM)
+    return pl.pallas_call(
+        _prod_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TNB), lambda j, i: (i, j)),
+            pl.BlockSpec((l, TM), lambda j, i: (0, i)),
+            pl.BlockSpec((cs.shape[0], TM), lambda j, i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((l, TN), lambda j, i: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((l, nb * 4), jnp.float32),
+        interpret=interpret,
+    )(packed, Zt, cs)
+
+
+class PallasOperator:
+    """Device-resident standardized genotype operator with fused kernels.
+
+    Handles padding (variants to TM with scale-0 -> zero contribution;
+    samples to TN with NA bytes) and the bit-plane sample permutation.
+    """
+
+    def __init__(self, pack, center, scale, interpret: bool | None = None):
+        packed = np.asarray(pack.packed)
+        m, nb = packed.shape
+        n = pack.n
+        self.m, self.n = m, n
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+
+        m_pad = -(-m // TM) * TM
+        nb_pad = -(-nb // TNB) * TNB
+        self.n_pad = nb_pad * 4
+        buf = np.full((m_pad, nb_pad), 0b01010101, dtype=np.uint8)  # NA pad
+        buf[:m, :nb] = packed
+        # partial last byte: force pad bits to NA
+        rem = n % 4
+        if rem:
+            keep = (1 << (2 * rem)) - 1
+            na_fill = sum(0b01 << (2 * k) for k in range(rem, 4))
+            buf[:m, nb - 1] = (buf[:m, nb - 1] & keep) | na_fill
+        self.packed = jnp.asarray(buf)
+
+        center = np.asarray(center, dtype=np.float64)
+        scale = np.asarray(scale, dtype=np.float64)
+        inv = np.zeros(m_pad, dtype=np.float32)
+        ctr = np.full(m_pad, 2.0, dtype=np.float32)
+        good = scale > 0
+        inv[:m][good] = 1.0 / scale[good]
+        ctr[:m] = np.where(good, center, 2.0)
+        # rows 2..7 pad the sublane tile
+        cs = np.zeros((8, m_pad), dtype=np.float32)
+        cs[0] = ctr
+        cs[1] = inv
+        self.cs = jnp.asarray(cs)
+
+        self.perm = sample_perm(self.n_pad)
+        self.inv_perm = np.argsort(self.perm)
+
+    def _pad_l(self, arr, axis):
+        l = arr.shape[axis]
+        pad = (-l) % 8
+        if pad:
+            widths = [(0, 0)] * arr.ndim
+            widths[axis] = (0, pad)
+            arr = np.pad(arr, widths)
+        return arr, l
+
+    def cprod(self, V):
+        """X̃ᵀ V: V (n, l) -> (m, l)."""
+        V = np.asarray(V, dtype=np.float32)
+        squeeze = V.ndim == 1
+        if squeeze:
+            V = V[:, None]
+        Vp = np.zeros((self.n_pad, V.shape[1]), dtype=np.float32)
+        Vp[:self.n] = V
+        Vp = Vp[self.perm]
+        Qp, l = self._pad_l(Vp.T, 0)
+        out = pallas_cprod(self.packed, jnp.asarray(Qp), self.cs,
+                           interpret=self.interpret)
+        res = np.asarray(out)[:l, :self.m].T
+        return res[:, 0] if squeeze else res
+
+    def prod(self, U):
+        """X̃ U: U (m, l) -> (n, l)."""
+        U = np.asarray(U, dtype=np.float32)
+        squeeze = U.ndim == 1
+        if squeeze:
+            U = U[:, None]
+        Up = np.zeros((self.packed.shape[0], U.shape[1]), dtype=np.float32)
+        Up[:self.m] = U
+        Zt, l = self._pad_l(Up.T, 0)
+        out = pallas_prod(self.packed, jnp.asarray(Zt), self.cs,
+                          interpret=self.interpret)
+        res = np.asarray(out)[:l].T[self.inv_perm][:self.n]
+        return res[:, 0] if squeeze else res
