@@ -20,7 +20,9 @@ from bigsnpr_tpu.core.genotypes import (
 )
 from bigsnpr_tpu.io.bed import (
     read_bed,
+    bed,
     snp_readBed,
+    snp_readBed2,
     snp_writeBed,
     snp_attachExtdata,
 )
@@ -59,7 +61,9 @@ from bigsnpr_tpu.assoc.pcadapt import snp_pcadapt, bed_pcadapt
 from bigsnpr_tpu.assoc.max3 import snp_MAX3
 from bigsnpr_tpu.assoc.fst import snp_fst
 from bigsnpr_tpu.assoc.mhtest import MHTest, snp_gc, snp_qq, snp_manhattan
-from bigsnpr_tpu.utils.match import snp_match, same_ref, snp_asGeneticPos
+from bigsnpr_tpu.utils.match import (
+    snp_match, same_ref, snp_asGeneticPos, snp_asGeneticPos2,
+)
 from bigsnpr_tpu.utils.impute import snp_fastImpute, snp_fastImputeSimple
 from bigsnpr_tpu.ops.grm import bed_tcrossprodSelf, bed_GRM
 from bigsnpr_tpu.pca.ancestry import snp_ancestry_summary
@@ -67,6 +71,11 @@ from bigsnpr_tpu.pca.project import (
     bed_projectPCA, bed_projectSelfPCA, snp_projectSelfPCA, pca_OADP_proj,
 )
 from bigsnpr_tpu.core.dosage import DosagePack
+from bigsnpr_tpu.core.codes import CODE_012, CODE_DOSAGE, CODE_IMPUTE_PRED
+from bigsnpr_tpu.utils.misc import (
+    sub_bed, as_SFBM, snp_getSampleInfos, snp_split, snp_pruning,
+    download_1000G, download_genetic_map,
+)
 from bigsnpr_tpu.io.bgen import snp_readBGEN, snp_readBGI, snp_prodBGEN
 from bigsnpr_tpu.utils.external import (
     snp_plinkQC, snp_plinkIBDQC, snp_plinkKINGQC, snp_plinkRmSamples,

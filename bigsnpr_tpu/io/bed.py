@@ -85,6 +85,38 @@ def snp_writeBed(pack: GenoPack, bedfile) -> str:
     return str(bedfile)
 
 
+def snp_readBed2(bedfile, backingfile=None, ind_row=None, ind_col=None,
+                 mmap: bool = True) -> GenoPack:
+    """Read a row/col subset of a .bed (reference snp_readBed2,
+    R/read-plink.R:72-111; native 2-bit repack when available)."""
+    pack = read_bed(bedfile, mmap=mmap)
+    if ind_row is not None or ind_col is not None:
+        import numpy as _np
+
+        rows = _np.arange(pack.m) if ind_col is None else _np.asarray(ind_col)
+        cols = _np.arange(pack.n) if ind_row is None else _np.asarray(ind_row)
+        try:
+            from bigsnpr_tpu import native
+
+            packed2 = native.bed_subset_pack(_np.asarray(pack.packed), rows, cols)
+        except Exception:
+            packed2 = None
+        if packed2 is not None:
+            fam = (pack.fam.iloc[cols].reset_index(drop=True)
+                   if pack.fam is not None else None)
+            map_ = (pack.map.iloc[rows].reset_index(drop=True)
+                    if pack.map is not None else None)
+            pack = GenoPack(packed=packed2, n=len(cols), fam=fam, map=map_)
+        else:
+            pack = pack.subset(ind_row=ind_row, ind_col=ind_col)
+    if backingfile is not None:
+        pack.save(backingfile)
+    return pack
+
+
+bed = read_bed  # the reference's bed() constructor maps a bedfile
+
+
 def snp_attachExtdata(name: str = "example.bed") -> GenoPack:
     """Attach the reference's bundled test dataset if available.
 

@@ -180,3 +180,10 @@ def snp_asGeneticPos(infos_chr, infos_pos, genetic_map: pd.DataFrame | None = No
         else:
             out[sel] = np.interp(q, xp, fp)
     return out
+
+
+def snp_asGeneticPos2(infos_chr, infos_pos, genetic_map=None):
+    """Linear-interpolation variant (reference snp_asGeneticPos2,
+    R/modify-positions.R:246-267)."""
+    return snp_asGeneticPos(infos_chr, infos_pos, genetic_map,
+                            method="linear")
