@@ -27,11 +27,19 @@ def seq_log(a, b, n):
 def snp_lassosum2(corr: SparseLD, df_beta, delta=(0.001, 0.01, 0.1, 1),
                   nlambda: int = 30, lambda_min_ratio: float = 0.01,
                   dfmax: float = 200e3, maxiter: int = 1000,
-                  tol: float = 1e-5, ind_corr=None):
+                  tol: float = 1e-5, ind_corr=None, blocks=None):
     """Returns (beta_grid (m, n_grid), grid_param DataFrame with
     lambda/delta/num_iter/sparsity)."""
     beta_hat, N, scale = _df_beta_arrays(df_beta)
-    band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(corr, beta_hat, N, ind_corr)
+    if blocks is None:
+        band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(corr, beta_hat, N, ind_corr)
+    else:
+        from bigsnpr_tpu.pgs import gibbs_blocked as gb
+
+        blocks_arr = np.asarray(blocks, dtype=np.int64)
+        bands, Wb = gb.build_block_bands(corr, blocks_arr, ind_corr=ind_corr)
+        slot, _, _ = gb.block_layout(blocks_arr)
+        B, mb = bands.shape[0], bands.shape[1]
 
     pf = np.sqrt(np.max(N) / N)
     lambda0 = np.max(np.abs(beta_hat / pf))
@@ -43,13 +51,25 @@ def snp_lassosum2(corr: SparseLD, df_beta, delta=(0.001, 0.01, 0.1, 1),
     del_grid = del_grid.ravel()
 
     pf_j = jnp.asarray(pf, dtype=jnp.float32)
-    run = jax.vmap(
-        lambda lam, dlt: lassosum_cd(
-            band_sub, ind_sub, bh,
-            pf_j * lam, pf_j * dlt + 1.0,
-            jnp.float32(dfmax), jnp.float32(tol),
-            maxiter=maxiter, W=W, m2=m2),
-        in_axes=(0, 0))
+    if blocks is None:
+        run = jax.vmap(
+            lambda lam, dlt: lassosum_cd(
+                band_sub, ind_sub, bh,
+                pf_j * lam, pf_j * dlt + 1.0,
+                jnp.float32(dfmax), jnp.float32(tol),
+                maxiter=maxiter, W=W, m2=m2),
+            in_axes=(0, 0))
+    else:
+        from bigsnpr_tpu.pgs.gibbs_blocked import lassosum_cd_blocked
+
+        bhj = jnp.asarray(beta_hat, jnp.float32)
+        run = jax.vmap(
+            lambda lam, dlt: lassosum_cd_blocked(
+                jnp.asarray(bands), jnp.asarray(slot), bhj,
+                pf_j * lam, pf_j * dlt + 1.0,
+                jnp.float32(dfmax), jnp.float32(tol),
+                maxiter=maxiter, W=Wb, m=len(beta_hat), B=B, mb=mb),
+            in_axes=(0, 0))
     betas, iters = run(jnp.asarray(lam_grid, dtype=jnp.float32),
                        jnp.asarray(del_grid, dtype=jnp.float32))
     beta_grid = np.asarray(betas, dtype=np.float64).T * scale[:, None]

@@ -59,7 +59,8 @@ def _prep_sampler(corr, beta_hat, N, ind_corr, dtype=np.float32):
 def snp_ldpred2_grid(corr: SparseLD, df_beta, grid_param,
                      burn_in: int = 50, num_iter: int = 100,
                      return_sampling_betas: bool = False,
-                     ind_corr=None, seed: int = 1) -> np.ndarray:
+                     ind_corr=None, seed: int = 1,
+                     blocks=None) -> np.ndarray:
     """Grid model (reference snp_ldpred2_grid, R/LDpred2.R:73-140).
 
     grid_param: dict/DataFrame with p, h2, sparse columns. Returns an
@@ -67,6 +68,9 @@ def snp_ldpred2_grid(corr: SparseLD, df_beta, grid_param,
     or the (num_iter, m)-sampling betas when return_sampling_betas.
     """
     beta_hat, N, scale = _df_beta_arrays(df_beta)
+    if blocks is not None and not return_sampling_betas:
+        return _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in,
+                             num_iter, ind_corr, seed, blocks)
     band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(corr, beta_hat, N, ind_corr)
     p_grid = np.atleast_1d(np.asarray(grid_param["p"], dtype=np.float64))
     h2_grid = np.atleast_1d(np.asarray(grid_param["h2"], dtype=np.float64))
@@ -95,13 +99,43 @@ def snp_ldpred2_grid(corr: SparseLD, df_beta, grid_param,
     return np.asarray(out).T * scale[:, None]
 
 
+def _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in, num_iter,
+                  ind_corr, seed, blocks):
+    """Block-parallel grid sampler (LD must be block-diagonal w.r.t.
+    `blocks`, e.g. from snp_ldsplit): sequential depth = max block size."""
+    import jax
+    import jax.numpy as jnp
+    from bigsnpr_tpu.pgs import gibbs_blocked as gb
+
+    blocks = np.asarray(blocks, dtype=np.int64)
+    bands, W = gb.build_block_bands(corr, blocks, ind_corr=ind_corr)
+    slot, _, _ = gb.block_layout(blocks)
+    B, mb = bands.shape[0], bands.shape[1]
+    m = len(beta_hat)
+
+    p_grid = np.atleast_1d(np.asarray(grid_param["p"], dtype=np.float64))
+    h2_grid = np.atleast_1d(np.asarray(grid_param["h2"], dtype=np.float64))
+    sp_grid = np.atleast_1d(np.asarray(grid_param["sparse"], dtype=bool))
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(p_grid))
+    run = jax.vmap(
+        lambda h2, p, sprs, k: gb.gibbs_one_blocked(
+            jnp.asarray(bands), jnp.asarray(slot),
+            jnp.asarray(beta_hat, jnp.float32), jnp.asarray(N, jnp.float32),
+            h2, p, sprs, k, burn_in=burn_in, num_iter=num_iter,
+            W=W, m=m, B=B, mb=mb),
+        in_axes=(0, 0, 0, 0))
+    out = run(jnp.asarray(h2_grid, jnp.float32), jnp.asarray(p_grid, jnp.float32),
+              jnp.asarray(sp_grid), keys)
+    return np.asarray(out).T * scale[:, None]
+
+
 def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
                      vec_p_init=0.1, burn_in: int = 500, num_iter: int = 200,
                      sparse: bool = False, report_step: int | None = None,
                      allow_jump_sign: bool = True, shrink_corr: float = 1.0,
                      use_MLE: bool = True, p_bounds=(1e-5, 1.0),
                      alpha_bounds=(-1.5, 0.5), ind_corr=None,
-                     seed: int = 1) -> list[dict]:
+                     seed: int = 1, blocks=None) -> list[dict]:
     """Auto model (reference snp_ldpred2_auto, R/LDpred2.R:203-286).
 
     Returns a list (over vec_p_init) of dicts with beta_est, postp_est,
@@ -112,10 +146,11 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
     beta_hat, N, scale = _df_beta_arrays(df_beta)
     sd = 1.0 / scale
     log_var = 2.0 * np.log(sd)
-    band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(corr, beta_hat, N, ind_corr)
-    lv = jnp.asarray(log_var, dtype=jnp.float32)
+    if blocks is None:
+        band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(corr, beta_hat, N, ind_corr)
+        lv = jnp.asarray(log_var, dtype=jnp.float32)
     if ind_corr is None:
-        ind_corr_np = np.arange(m2)
+        ind_corr_np = np.arange(corr.shape[0])
     else:
         ind_corr_np = np.asarray(ind_corr)
     mean_ld = float(np.mean(ld_scores_sfbm(corr, ind_sub=ind_corr_np)))
@@ -126,6 +161,42 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
     vec_p_init = np.atleast_1d(np.asarray(vec_p_init, dtype=np.float64))
     key = jax.random.PRNGKey(seed)
     keys = jax.random.split(key, len(vec_p_init))
+
+    if blocks is not None:
+        from bigsnpr_tpu.pgs import gibbs_blocked as gb
+
+        blocks_arr = np.asarray(blocks, dtype=np.int64)
+        bands, Wb = gb.build_block_bands(corr, blocks_arr, ind_corr=ind_corr)
+        slot, _, _ = gb.block_layout(blocks_arr)
+        B, mb = bands.shape[0], bands.shape[1]
+        m = len(beta_hat)
+        runb = jax.vmap(
+            lambda p0, k: gb.gibbs_auto_blocked(
+                jnp.asarray(bands), jnp.asarray(slot),
+                jnp.asarray(beta_hat, jnp.float32),
+                jnp.asarray(N, jnp.float32),
+                jnp.asarray(log_var, jnp.float32),
+                p0, jnp.float32(h2_init), k, jnp.float32(shrink_corr),
+                jnp.asarray(p_bounds, dtype=jnp.float32),
+                jnp.asarray(np.asarray(alpha_bounds) + 1, dtype=jnp.float32),
+                jnp.float32(mean_ld),
+                burn_in=burn_in, num_iter=num_iter, W=Wb, m=m, B=B, mb=mb,
+                use_mle=use_MLE, no_jump_sign=not allow_jump_sign),
+            in_axes=(0, 0))
+        outs = runb(jnp.asarray(vec_p_init, dtype=jnp.float32), keys)
+        results = []
+        for c in range(len(vec_p_init)):
+            res = {k2: np.asarray(v[c], dtype=np.float64)
+                   for k2, v in outs.items()}
+            res["sample_beta"] = np.zeros((0, m))
+            res["beta_est"] = res["beta_est"] / sd
+            res["h2_est"] = float(np.mean(res["path_h2_est"][-num_iter:]))
+            res["p_est"] = float(np.mean(res["path_p_est"][-num_iter:]))
+            res["alpha_est"] = float(np.mean(res["path_alpha_est"][-num_iter:]))
+            res["h2_init"] = h2_init
+            res["p_init"] = float(vec_p_init[c])
+            results.append(res)
+        return results
 
     run = jax.vmap(
         lambda p0, k: gibbs.gibbs_auto(

@@ -1,0 +1,85 @@
+"""Block-parallel samplers == sequential chains on block-diagonal LD."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from bigsnpr_tpu.ops.corr import SparseLD
+from bigsnpr_tpu.pgs.ldpred2 import snp_ldpred2_grid, snp_ldpred2_auto
+from bigsnpr_tpu.pgs.lassosum2 import snp_lassosum2
+from bigsnpr_tpu.pgs.gibbs_blocked import block_layout, build_block_bands
+
+
+@pytest.fixture(scope="module")
+def blockdiag():
+    """Block-diagonal LD + consistent sumstats."""
+    rng = np.random.default_rng(8)
+    sizes = [40, 25, 60, 35]
+    m = sum(sizes)
+    blocks_mats = []
+    for sz in sizes:
+        A = rng.normal(size=(sz, sz + 30))
+        # banded-ish within-block correlation
+        C = np.corrcoef(np.cumsum(A, axis=0))
+        blocks_mats.append(C)
+    full = sp.block_diag(blocks_mats).tocsc()
+    corr = SparseLD(upper=sp.triu(full).tocsc())
+    beta = rng.normal(0, 0.05, m)
+    df_beta = {"beta": beta, "beta_se": np.full(m, 0.05),
+               "n_eff": np.full(m, 10000.0)}
+    return corr, df_beta, np.asarray(sizes)
+
+
+def test_layout():
+    slot, gos, valid = block_layout([3, 5, 2])
+    assert slot.shape == (10,)
+    assert gos.shape == (3, 5)
+    assert valid.sum() == 10
+    # round trip
+    flat = np.full(15, -1)
+    flat[slot] = np.arange(10)
+    np.testing.assert_array_equal(flat.reshape(3, 5)[valid], np.arange(10))
+
+
+def test_build_block_bands(blockdiag):
+    corr, _, sizes = blockdiag
+    bands, W = build_block_bands(corr, sizes)
+    assert bands.shape[0] == 4 and bands.shape[1] == sizes.max()
+    # center diagonal is 1 for real variants
+    for b, sz in enumerate(sizes):
+        np.testing.assert_allclose(bands[b, :sz, W], 1.0, rtol=1e-6)
+
+
+def test_lassosum_blocked_exact(blockdiag):
+    corr, df_beta, sizes = blockdiag
+    b_seq, g_seq = snp_lassosum2(corr, df_beta, nlambda=10, maxiter=200)
+    b_blk, g_blk = snp_lassosum2(corr, df_beta, nlambda=10, maxiter=200,
+                                 blocks=sizes)
+    np.testing.assert_allclose(b_blk, b_seq, rtol=2e-4, atol=1e-8,
+                               equal_nan=True)
+    np.testing.assert_array_equal(g_blk["num_iter"], g_seq["num_iter"])
+
+
+def test_gibbs_grid_blocked_matches_sequential(blockdiag):
+    """Same RNG layout + block-diagonal LD -> near-bitwise identical."""
+    corr, df_beta, sizes = blockdiag
+    grid = {"p": [0.2, 1.0], "h2": [0.3, 0.3], "sparse": [False, False]}
+    out_seq = snp_ldpred2_grid(corr, df_beta, grid, burn_in=30, num_iter=50)
+    out_blk = snp_ldpred2_grid(corr, df_beta, grid, burn_in=30, num_iter=50,
+                               blocks=sizes)
+    np.testing.assert_allclose(out_blk, out_seq, rtol=2e-3, atol=1e-7)
+
+
+def test_auto_blocked_statistical(blockdiag):
+    corr, df_beta, sizes = blockdiag
+    res_seq = snp_ldpred2_auto(corr, df_beta, h2_init=0.2, vec_p_init=[0.2],
+                               burn_in=150, num_iter=150, use_MLE=False)[0]
+    res_blk = snp_ldpred2_auto(corr, df_beta, h2_init=0.2, vec_p_init=[0.2],
+                               burn_in=150, num_iter=150, use_MLE=False,
+                               blocks=sizes)[0]
+    assert np.isfinite(res_blk["beta_est"]).all()
+    # same posterior up to MC noise
+    r = np.corrcoef(res_blk["beta_est"], res_seq["beta_est"])[0, 1]
+    assert r > 0.95, r
+    assert abs(res_blk["h2_est"] - res_seq["h2_est"]) < 0.35 * max(
+        res_seq["h2_est"], 0.1)
