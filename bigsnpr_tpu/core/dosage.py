@@ -44,6 +44,20 @@ class DosagePack:
         """(n, m) float dosages with NaN for missing."""
         return self.code256[self.codes].T
 
+    def subset(self, ind_row=None, ind_col=None) -> "DosagePack":
+        codes = self.codes
+        if ind_col is not None:
+            codes = codes[np.asarray(ind_col)]
+        if ind_row is not None:
+            codes = codes[:, np.asarray(ind_row)]
+        new_fam = (self.fam.iloc[np.asarray(ind_row)].reset_index(drop=True)
+                   if self.fam is not None and ind_row is not None else self.fam)
+        new_map = (self.map.iloc[np.asarray(ind_col)].reset_index(drop=True)
+                   if self.map is not None and ind_col is not None else self.map)
+        return DosagePack(codes=np.ascontiguousarray(codes),
+                          n=codes.shape[1], code256=self.code256,
+                          fam=new_fam, map=new_map)
+
     def round_to_hardcalls(self) -> GenoPack:
         """Round dosages to hard calls (NaN kept missing) -> GenoPack."""
         d = self.code256[self.codes]  # (m, n)

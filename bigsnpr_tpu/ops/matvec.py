@@ -65,6 +65,52 @@ def _prod_blocked(packed, U, center, scale, n, block, precision):
     return acc
 
 
+@partial(jax.jit, static_argnames=("block", "precision"))
+def _cprod_bytes_blocked(codes, table, V, center, scale, block, precision):
+    """(m_pad, n) byte codes + 256-table -> X̃ᵀ V (code256 decode, NA->0)."""
+    m_pad, n = codes.shape
+    blocks = codes.reshape(m_pad // block, block, n)
+    c = center.reshape(-1, block)
+    s = scale.reshape(-1, block)
+
+    def body(args):
+        cb_codes, cb, sb = args
+        d = jnp.take(table, cb_codes.astype(jnp.int32))
+        xt = (d - cb[:, None]) / sb[:, None]
+        xt = jnp.where(jnp.isnan(d), 0.0, xt)
+        return jnp.dot(xt, V, preferred_element_type=jnp.float32,
+                       precision=precision)
+
+    out = jax.lax.map(body, (blocks, c, s))
+    return out.reshape(m_pad, -1)
+
+
+@partial(jax.jit, static_argnames=("block", "precision"))
+def _prod_bytes_blocked(codes, table, U, center, scale, block, precision):
+    m_pad, n = codes.shape
+    nblocks = m_pad // block
+    blocks = codes.reshape(nblocks, block, n)
+    c = center.reshape(nblocks, block)
+    s = scale.reshape(nblocks, block)
+    Ub = U.reshape(nblocks, block, -1)
+
+    def body(acc, args):
+        cb_codes, cb, sb, ub = args
+        d = jnp.take(table, cb_codes.astype(jnp.int32))
+        xt = (d - cb[:, None]) / sb[:, None]
+        xt = jnp.where(jnp.isnan(d), 0.0, xt)
+        return acc + jnp.dot(xt.T, ub, preferred_element_type=jnp.float32,
+                             precision=precision), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((n, U.shape[-1]), jnp.float32),
+                          (blocks, c, s, Ub))
+    return acc
+
+
+def _is_dosage(pack):
+    return hasattr(pack, "code256")
+
+
 def _prep(pack, center, scale, block):
     n = pack.n
     m = pack.m
@@ -80,10 +126,24 @@ def _prep(pack, center, scale, block):
 def snp_cprodVec(pack, v, center=None, scale=None, block=None):
     """X̃ᵀ v: per-variant scaled dot products (reference bed_cprodVec,
     R/bed-mult-vec.R:50-75 / src/bed-prod-vec.cpp:59-97)."""
-    packed, c, s, n, m, block = _prep(pack, center, scale, block)
     v = jnp.asarray(v, dtype=jnp.float32)
     squeeze = v.ndim == 1
     V = v[:, None] if squeeze else v
+    if _is_dosage(pack):
+        m = pack.m
+        block = block or pick_block(pack.n)
+        codes, _ = pad_rows(np.asarray(pack.codes), block, fill=3)
+        c = np.zeros(m) if center is None else np.asarray(center, np.float64)
+        s = np.ones(m) if scale is None else np.asarray(scale, np.float64)
+        cp, _ = pad_rows(c.astype(np.float32), block, fill=0)
+        sp_, _ = pad_rows(s.astype(np.float32), block, fill=1)
+        out = _cprod_bytes_blocked(
+            jnp.asarray(codes), jnp.asarray(pack.code256, dtype=jnp.float32),
+            V, jnp.asarray(cp), jnp.asarray(sp_), block,
+            config.matmul_precision)
+        out = out[:m]
+        return out[:, 0] if squeeze else out
+    packed, c, s, n, m, block = _prep(pack, center, scale, block)
     out = _cprod_blocked(jnp.asarray(packed), V, jnp.asarray(c), jnp.asarray(s),
                          n, block, config.matmul_precision)
     out = out[:m]
@@ -93,10 +153,24 @@ def snp_cprodVec(pack, v, center=None, scale=None, block=None):
 def snp_prodVec(pack, u, center=None, scale=None, block=None):
     """X̃ u: per-sample scores (reference bed_prodVec,
     R/bed-mult-vec.R:20-49 / src/bed-prod-vec.cpp:15-51)."""
-    packed, c, s, n, m, block = _prep(pack, center, scale, block)
     u = jnp.asarray(u, dtype=jnp.float32)
     squeeze = u.ndim == 1
     U = u[:, None] if squeeze else u
+    if _is_dosage(pack):
+        m = pack.m
+        block = block or pick_block(pack.n)
+        codes, _ = pad_rows(np.asarray(pack.codes), block, fill=3)
+        c = np.zeros(m) if center is None else np.asarray(center, np.float64)
+        s = np.ones(m) if scale is None else np.asarray(scale, np.float64)
+        cp, _ = pad_rows(c.astype(np.float32), block, fill=0)
+        sp_, _ = pad_rows(s.astype(np.float32), block, fill=1)
+        U_pad, _ = pad_rows(np.asarray(U), block, fill=0)
+        out = _prod_bytes_blocked(
+            jnp.asarray(codes), jnp.asarray(pack.code256, dtype=jnp.float32),
+            jnp.asarray(U_pad), jnp.asarray(cp), jnp.asarray(sp_), block,
+            config.matmul_precision)
+        return out[:, 0] if squeeze else out
+    packed, c, s, n, m, block = _prep(pack, center, scale, block)
     U_pad, _ = pad_rows(U, block, fill=0)
     out = _prod_blocked(jnp.asarray(packed), U_pad, jnp.asarray(c), jnp.asarray(s),
                         n, block, config.matmul_precision)

@@ -67,6 +67,17 @@ def _counts_rows(pack, ind_row):
 bed_counts = snp_counts
 
 
+def _dosage_colstats(pack, ind_row=None):
+    d = pack.to_dosage()  # (n, m) with NaN
+    if ind_row is not None:
+        d = d[np.asarray(ind_row)]
+    nona = (~np.isnan(d)).sum(0)
+    sumX = np.nansum(d, 0)
+    ssq = np.nansum(d * d, 0)
+    denoX = ssq - sumX**2 / np.maximum(nona, 1)
+    return {"sumX": sumX, "denoX": denoX, "nona": nona.astype(np.int64)}
+
+
 def snp_colstats(pack, ind_row=None, dtype=np.float64):
     """Per-column {sumX, denoX, nona} over non-missing entries.
 
@@ -75,6 +86,8 @@ def snp_colstats(pack, ind_row=None, dtype=np.float64):
     bed_colstats (src/bed-fun.cpp:9-46, NA-aware). We are always NA-aware;
     on complete data the two coincide.
     """
+    if hasattr(pack, "code256"):
+        return _dosage_colstats(pack, ind_row=ind_row)
     counts = snp_counts(pack, ind_row=ind_row).astype(dtype)
     c0, c1, c2, cna = counts
     nona = c0 + c1 + c2
