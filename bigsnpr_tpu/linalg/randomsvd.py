@@ -53,17 +53,42 @@ def snp_randomSVD(
     oversample: int = 10,
     seed: int = 1,
     verbose: bool = False,
+    engine: str = "auto",
 ) -> BigSVD:
     """Truncated SVD of the standardized genotype matrix.
 
     Reference: bed_randomSVD (R/autoSVD.R:205-219): needs only
     {scaling stats, X·v, Xᵀ·v}; k=10, tol=1e-4 defaults.
+
+    engine: "auto" uses the fused Pallas operator on TPU for 2-bit packs,
+    the XLA blocked path otherwise.
     """
     full = ind_col is None
     sub = pack if full else pack.subset(ind_col=np.asarray(ind_col))
     sc = fun_scaling(sub) if callable(fun_scaling) else fun_scaling
     center, scale = np.asarray(sc["center"]), np.asarray(sc["scale"])
     n, m = sub.n, sub.m
+
+    op = None
+    if engine != "xla" and hasattr(sub, "packed"):
+        import jax
+
+        if engine == "pallas" or (engine == "auto"
+                                  and jax.default_backend() == "tpu"):
+            from bigsnpr_tpu.ops.pallas_kernels import PallasOperator
+
+            op = PallasOperator(sub, center,
+                                np.where(scale > 0, scale, 1.0))
+
+    def cprod_fn(V):
+        if op is not None:
+            return op.cprod(V)
+        return np.asarray(snp_cprodVec(sub, V, center, scale))
+
+    def prod_fn(U):
+        if op is not None:
+            return op.prod(U)
+        return np.asarray(snp_prodVec(sub, U, center, scale))
 
     l = min(k + oversample, min(n, m))
     rng = np.random.default_rng(seed)
@@ -72,8 +97,8 @@ def snp_randomSVD(
     niter = 0
     for it in range(max_iter):
         niter = it + 1
-        Z = np.asarray(snp_cprodVec(sub, Q, center, scale))   # (m, l)
-        Y = np.asarray(snp_prodVec(sub, Z, center, scale))    # (n, l)
+        Z = cprod_fn(Q)   # (m, l)
+        Y = prod_fn(Z)    # (n, l)
         Q, R = np.linalg.qr(Y)
         # eigenvalues of the Gram operator ~ diag of R (after QR of A Aᵀ Q)
         d_now = np.sqrt(np.abs(np.diag(R))[:k])
@@ -85,7 +110,7 @@ def snp_randomSVD(
         d_prev = d_now
 
     # Rayleigh-Ritz: T = Qᵀ X̃ = Zᵀ with final Q
-    Z = np.asarray(snp_cprodVec(sub, Q, center, scale))       # (m, l)
+    Z = cprod_fn(Q)                                           # (m, l)
     Ut, s, Vtt = np.linalg.svd(Z.T, full_matrices=False)      # Z.T = (l, m)
     u = Q @ Ut[:, :k]
     d = s[:k]

@@ -32,6 +32,8 @@ def snp_fastImputeSimple(pack: GenoPack, method: str = "mode",
     NOTE: the reference's "mean2" (2-decimal dosages) needs byte codes and
     is provided by snp_fastImputeSimple_dosage (returns float dosages).
     """
+    if method == "mean2":
+        return snp_fastImputeSimple_mean2(pack)
     codes = unpack.np_unpack_codes(np.asarray(pack.packed), pack.n)
     counts = snp_counts(pack)
     c0, c1, c2, cna = (counts[k].astype(np.int64) for k in range(4))
@@ -77,6 +79,27 @@ def snp_fastImputeSimple_dosage(pack: GenoPack) -> np.ndarray:
     mean2 = np.round((counts[1] + 2.0 * counts[2]) / c, 2)
     na = np.isnan(X)
     return np.where(na, mean2[None, :], X)
+
+
+def snp_fastImputeSimple_mean2(pack: GenoPack):
+    """'mean2' as a DosagePack (byte codes; hard calls stay exact, NA
+    becomes the 2-decimal mean dosage code — the reference's +7-offset
+    imputed code range, src/impute-simple.cpp:62-64)."""
+    from bigsnpr_tpu.core.dosage import DosagePack
+
+    codes = unpack.np_unpack_codes(np.asarray(pack.packed), pack.n)
+    counts = snp_counts(pack)
+    c = np.maximum(counts[:3].sum(0), 1)
+    mean2 = np.round((counts[1] + 2.0 * counts[2]) / c, 2)
+    # CODE_DOSAGE: hard calls at 0..2; dosage codes 7..207 map (code-7)/100
+    dose_codes = (7 + np.round(100 * mean2)).astype(np.uint8)
+    out = np.empty_like(codes)
+    # map 2-bit codes to byte codes 0/1/2 and 3 (missing)
+    lut = np.array([2, 3, 1, 0], dtype=np.uint8)  # bed code -> CODE_DOSAGE idx
+    out = lut[codes]
+    na = codes == 1
+    out = np.where(na, dose_codes[:, None], out)
+    return DosagePack(codes=out, n=pack.n, fam=pack.fam, map=pack.map)
 
 
 def snp_fastImpute(pack: GenoPack, infos_chr=None, alpha: float = 1e-4,
