@@ -90,31 +90,52 @@ def snp_randomSVD(
             return op.prod(U)
         return np.asarray(snp_prodVec(sub, U, center, scale))
 
+    # Adaptive randomized block-Krylov (Musco & Musco 2015): grow the
+    # Krylov basis K = [Q, (AAᵀ)Q, (AAᵀ)²Q, ...] in the sample space and
+    # Rayleigh-Ritz on it — superlinear convergence in the number of
+    # matvec passes (the reference's Lanczos-class solver equivalent).
     l = min(k + oversample, min(n, m))
     rng = np.random.default_rng(seed)
     Q = _orth(rng.standard_normal((n, l)))
+    basis = [Q]
+    Ms = [cprod_fn(Q)]                              # cprod blocks, width l
     d_prev = np.zeros(k)
     niter = 0
-    for it in range(max_iter):
+    max_depth = max(2, min(max_iter, -(-min(n, m) // l)))
+    u = d = v = None
+    for it in range(max_depth):
         niter = it + 1
-        Z = cprod_fn(Q)   # (m, l)
-        Y = prod_fn(Z)    # (n, l)
-        Q, R = np.linalg.qr(Y)
-        # eigenvalues of the Gram operator ~ diag of R (after QR of A Aᵀ Q)
-        d_now = np.sqrt(np.abs(np.diag(R))[:k])
+        K = np.concatenate(basis, axis=1)            # (n, L)
+        M = np.concatenate(Ms, axis=1)               # (m, L)
+        Ut, s, Vtt = np.linalg.svd(M.T, full_matrices=False)
+        d_now = s[:k]
         rel = np.max(np.abs(d_now - d_prev) / np.maximum(d_now, 1e-30))
         if verbose:
-            print(f"  randomSVD iter {niter}: rel change {rel:.2e}")
-        if rel < tol:
+            print(f"  randomSVD depth {niter}: rel change {rel:.2e}")
+        u = K @ Ut[:, :k]
+        d = d_now
+        v = Vtt[:k].T
+        if rel < tol or K.shape[1] >= min(n, m):
             break
         d_prev = d_now
 
-    # Rayleigh-Ritz: T = Qᵀ X̃ = Zᵀ with final Q
-    Z = cprod_fn(Q)                                           # (m, l)
-    Ut, s, Vtt = np.linalg.svd(Z.T, full_matrices=False)      # Z.T = (l, m)
-    u = Q @ Ut[:, :k]
-    d = s[:k]
-    v = Vtt[:k].T
+        Y = prod_fn(Ms[-1])                          # A Aᵀ Q_last, (n, l)
+        # orthogonalize against the existing basis (twice, for stability)
+        for _ in range(2):
+            for Bq in basis:
+                Y = Y - Bq @ (Bq.T @ Y)
+        # drop directions lost to the existing span (QR would otherwise
+        # complete them with arbitrary vectors overlapping the basis) and
+        # never exceed the space dimension
+        norms = np.linalg.norm(Y, axis=0)
+        keep = norms > 1e-8 * max(np.max(d), 1.0)
+        room = min(n, m) - K.shape[1]
+        cols = np.nonzero(keep)[0][:room]
+        if len(cols) == 0:
+            break
+        Q, _ = np.linalg.qr(Y[:, cols])
+        basis.append(Q)
+        Ms.append(cprod_fn(Q))
 
     # sign convention: largest-|loading| coordinate of each u positive
     signs = np.sign(u[np.argmax(np.abs(u), axis=0), np.arange(k)])
