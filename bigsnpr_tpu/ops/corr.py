@@ -74,6 +74,28 @@ class SparseLD:
     def to_dense(self) -> np.ndarray:
         return np.asarray(self.sym().todense())
 
+    def save(self, path) -> str:
+        """Persist to .npz (the analog of the reference's SFBM .sbk file)."""
+        import pathlib
+
+        path = pathlib.Path(path)
+        if path.suffix != ".npz":
+            path = path.with_suffix(".npz")
+        u = self.upper
+        np.savez_compressed(
+            path, data=u.data, indices=u.indices, indptr=u.indptr,
+            shape=np.asarray(u.shape),
+            pos=(self.pos if self.pos is not None else np.array([])))
+        return str(path)
+
+    @staticmethod
+    def load(path) -> "SparseLD":
+        z = np.load(path)
+        upper = sp.csc_matrix(
+            (z["data"], z["indices"], z["indptr"]), shape=tuple(z["shape"]))
+        pos = z["pos"] if len(z["pos"]) else None
+        return SparseLD(upper=upper, pos=pos)
+
 
 # ---------------------------------------------------------------------------
 # banded pairwise-complete sums kernel

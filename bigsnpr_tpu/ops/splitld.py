@@ -112,30 +112,42 @@ def _get_C(L: sp.csc_matrix, min_size: int, max_size: int, max_K: int,
         C1[row, 0] = 0.0
         C2[row, 0] = float(size) ** 2
 
-    for k in range(1, max_K):
-        c1prev = np.r_[C1[:, k - 1], np.inf]
-        c2prev = np.r_[C2[:, k - 1], np.inf]
-        cost1 = F_E + c1prev[F_col + 1]
-        cost2 = F_sq + c2prev[F_col + 1]
-        finite = np.isfinite(cost1)
-        if finite.any():
-            r, c1, c2, cc = (F_row[finite], cost1[finite], cost2[finite],
-                             F_col[finite])
-            c1min = np.full(m, np.inf)
-            np.minimum.at(c1min, r, c1)
-            t1 = c1 == c1min[r]
-            c2min = np.full(m, np.inf)
-            np.minimum.at(c2min, r[t1], c2[t1])
-            t2 = t1.copy()
-            t2[t1] = c2[t1] == c2min[r[t1]]
-            colbest = np.full(m, -2, dtype=np.int64)
-            np.maximum.at(colbest, r[t2], cc[t2])
-            upd = c1min < np.inf
+    if len(F_row):
+        # per-k update as jitted segment reductions (the numpy ufunc.at
+        # version dominated pipeline wall time)
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def dp_step(c1prev, c2prev, rows, cols, E, sq):
+            c1prev = jnp.r_[c1prev, jnp.inf]
+            c2prev = jnp.r_[c2prev, jnp.inf]
+            cost1 = E + c1prev[cols + 1]
+            cost2 = sq + c2prev[cols + 1]
+            c1min = jax.ops.segment_min(cost1, rows, num_segments=m)
+            t1 = cost1 == c1min[rows]
+            c2min = jax.ops.segment_min(jnp.where(t1, cost2, jnp.inf), rows,
+                                        num_segments=m)
+            t2 = t1 & (cost2 == c2min[rows])
+            colbest = jax.ops.segment_max(jnp.where(t2, cols, -2), rows,
+                                          num_segments=m)
+            return c1min, c2min, colbest
+
+        rows_j = jnp.asarray(F_row, dtype=jnp.int32)
+        cols_j = jnp.asarray(F_col, dtype=jnp.int32)
+        E_j = jnp.asarray(F_E)
+        sq_j = jnp.asarray(F_sq)
+        for k in range(1, max_K):
+            c1min, c2min, colbest = dp_step(
+                jnp.asarray(C1[:, k - 1]), jnp.asarray(C2[:, k - 1]),
+                rows_j, cols_j, E_j, sq_j)
+            c1min = np.asarray(c1min)
+            upd = np.isfinite(c1min)
             C1[upd, k] = c1min[upd]
-            C2[upd, k] = c2min[upd]
-            best[upd, k] = colbest[upd] + 1
-        if C1[0, k] > max_cost and C1[0, k] > C1[0, k - 1]:
-            break
+            C2[upd, k] = np.asarray(c2min)[upd]
+            best[upd, k] = np.asarray(colbest)[upd] + 1
+            if C1[0, k] > max_cost and C1[0, k] > C1[0, k - 1]:
+                break
 
     return C1, best
 
