@@ -44,6 +44,46 @@ class DosagePack:
         """(n, m) float dosages with NaN for missing."""
         return self.code256[self.codes].T
 
+    def save(self, path) -> str:
+        """Persist as <name>.dpk/ (codes + code256 + metadata)."""
+        import json
+        from pathlib import Path
+
+        path = Path(path)
+        if path.suffix != ".dpk":
+            path = path.with_suffix(".dpk")
+        path.mkdir(parents=True, exist_ok=True)
+        np.asarray(self.codes).tofile(path / "codes.bin")
+        np.save(path / "code256.npy", self.code256)
+        (path / "meta.json").write_text(json.dumps(
+            {"n": int(self.n), "m": int(self.m), "version": 1}))
+        if self.fam is not None:
+            self.fam.to_parquet(path / "fam.parquet")
+        if self.map is not None:
+            self.map.to_parquet(path / "map.parquet")
+        return str(path)
+
+    @staticmethod
+    def load(path, mmap: bool = True) -> "DosagePack":
+        import json
+        from pathlib import Path
+
+        path = Path(path)
+        meta = json.loads((path / "meta.json").read_text())
+        n, m = meta["n"], meta["m"]
+        if mmap:
+            codes = np.memmap(path / "codes.bin", dtype=np.uint8, mode="r",
+                              shape=(m, n))
+        else:
+            codes = np.fromfile(path / "codes.bin", dtype=np.uint8).reshape(m, n)
+        fam = (pd.read_parquet(path / "fam.parquet")
+               if (path / "fam.parquet").exists() else None)
+        map_ = (pd.read_parquet(path / "map.parquet")
+                if (path / "map.parquet").exists() else None)
+        return DosagePack(codes=codes, n=n,
+                          code256=np.load(path / "code256.npy"),
+                          fam=fam, map=map_)
+
     def subset(self, ind_row=None, ind_col=None) -> "DosagePack":
         codes = self.codes
         if ind_col is not None:
