@@ -131,16 +131,19 @@ def gibbs_one_blocked(bands, slot, beta_hat, n_vec, h2, p, sparse, key,
 
 
 @partial(jax.jit,
-         static_argnames=("burn_in", "num_iter", "W", "m", "B", "mb",
-                          "use_mle", "no_jump_sign"))
+         static_argnames=("burn_in", "num_iter", "report_step", "W", "m",
+                          "B", "mb", "use_mle", "no_jump_sign"))
 def gibbs_auto_blocked(bands, slot, beta_hat, n_vec, log_var, p_init, h2_init,
                        key, shrink_corr, p_bounds, alpha_bounds, mean_ld,
                        burn_in, num_iter, W, m, B, mb,
-                       use_mle=True, no_jump_sign=False):
+                       report_step=None, use_mle=True, no_jump_sign=False):
     """Block-parallel ldpred2_gibbs_auto. Global (p, h2, MLE) updates are
     cross-block reductions each sweep."""
     gap0 = 2.0 * jnp.sum(beta_hat**2)
     num_iter_tot = burn_in + num_iter
+    if report_step is None:
+        report_step = num_iter + 1
+    num_reports = num_iter // report_step if report_step <= num_iter else 0
 
     bh = _scatter(beta_hat, slot, B, mb)
     nv = _scatter(n_vec, slot, B, mb, fill=1.0)
@@ -153,7 +156,7 @@ def gibbs_auto_blocked(bands, slot, beta_hat, n_vec, log_var, p_init, h2_init,
 
     def body(k, state):
         (dp_pads, curr_beta, p, cur_h2_est, par_alpha, par_sigma2,
-         avg_postp, avg_beta, avg_bhat, paths, diverged) = state
+         avg_postp, avg_beta, avg_bhat, samples, paths, diverged) = state
 
         def run(_):
             inv_odd_p = (1 - p) / p
@@ -198,8 +201,20 @@ def gibbs_auto_blocked(bands, slot, beta_hat, n_vec, log_var, p_init, h2_init,
                 jnp.array([p2, h2, pa - 1.0], dtype=paths.dtype))
             paths2 = jnp.where(div2, paths, paths2)
 
+            if num_reports > 0:
+                rep_idx = (k - burn_in + 1) // report_step - 1
+                do_rep = post & ((k - burn_in + 1) % report_step == 0) & ~div2
+                samples2 = jax.lax.cond(
+                    do_rep,
+                    lambda s: jax.lax.dynamic_update_slice(
+                        s, jnp.where(causal, nb, 0.0)[None],
+                        (jnp.clip(rep_idx, 0, num_reports - 1), 0, 0)),
+                    lambda s: s, samples)
+            else:
+                samples2 = samples
+
             return (dp2, nb, p2, h2_est2, pa, ps, avg_postp2, avg_beta2,
-                    avg_bhat2, paths2, div2)
+                    avg_bhat2, samples2, paths2, div2)
 
         return jax.lax.cond(diverged, lambda _: state, run, operand=None)
 
@@ -208,9 +223,10 @@ def gibbs_auto_blocked(bands, slot, beta_hat, n_vec, log_var, p_init, h2_init,
         jnp.zeros((B, mb + 2 * W), dt), jnp.zeros((B, mb), dt), p_0,
         jnp.asarray(0.0, dt), jnp.asarray(0.0, dt), h2_0 / (m * p_0),
         jnp.zeros((B, mb), dt), jnp.zeros((B, mb), dt), jnp.zeros((B, mb), dt),
+        jnp.zeros((max(num_reports, 1), B, mb), dt),
         jnp.full((3, num_iter_tot), jnp.nan, dt), False,
     )
-    (_, _, _, _, _, _, avg_postp, avg_beta, avg_bhat, paths,
+    (_, _, _, _, _, _, avg_postp, avg_beta, avg_bhat, samples, paths,
      diverged) = jax.lax.fori_loop(0, num_iter_tot, body, state0)
 
     nan = jnp.where(diverged, jnp.nan, 0.0)
@@ -222,6 +238,7 @@ def gibbs_auto_blocked(bands, slot, beta_hat, n_vec, log_var, p_init, h2_init,
         "beta_est": g(avg_beta),
         "postp_est": g(avg_postp),
         "corr_est": g(avg_bhat),
+        "sample_beta": samples.reshape(samples.shape[0], -1)[:, slot],
         "path_p_est": paths[0], "path_h2_est": paths[1],
         "path_alpha_est": paths[2],
     }

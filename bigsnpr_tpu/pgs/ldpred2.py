@@ -181,14 +181,14 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
                 jnp.asarray(np.asarray(alpha_bounds) + 1, dtype=jnp.float32),
                 jnp.float32(mean_ld),
                 burn_in=burn_in, num_iter=num_iter, W=Wb, m=m, B=B, mb=mb,
-                use_mle=use_MLE, no_jump_sign=not allow_jump_sign),
+                report_step=report_step, use_mle=use_MLE,
+                no_jump_sign=not allow_jump_sign),
             in_axes=(0, 0))
         outs = runb(jnp.asarray(vec_p_init, dtype=jnp.float32), keys)
         results = []
         for c in range(len(vec_p_init)):
             res = {k2: np.asarray(v[c], dtype=np.float64)
                    for k2, v in outs.items()}
-            res["sample_beta"] = np.zeros((0, m))
             res["beta_est"] = res["beta_est"] / sd
             res["h2_est"] = float(np.mean(res["path_h2_est"][-num_iter:]))
             res["p_est"] = float(np.mean(res["path_p_est"][-num_iter:]))
