@@ -60,7 +60,9 @@ from bigsnpr_tpu.assoc.simu import snp_simuPheno
 from bigsnpr_tpu.assoc.pcadapt import snp_pcadapt, bed_pcadapt
 from bigsnpr_tpu.assoc.max3 import snp_MAX3
 from bigsnpr_tpu.assoc.fst import snp_fst
-from bigsnpr_tpu.assoc.mhtest import MHTest, snp_gc, snp_qq, snp_manhattan
+from bigsnpr_tpu.assoc.mhtest import (
+    MHTest, snp_gc, snp_qq, snp_manhattan, mhtest_from_gwas,
+)
 from bigsnpr_tpu.utils.match import (
     snp_match, same_ref, snp_asGeneticPos, snp_asGeneticPos2,
 )

@@ -126,3 +126,24 @@ def snp_manhattan(gwas: MHTest, infos_chr, infos_pos,
     ax.set_ylabel("$-\\log_{10}(p)$")
     ax.set_title("Manhattan Plot")
     return ax
+
+
+def mhtest_from_gwas(gwas, n: int, n_covar: int = 0,
+                     family: str = "gaussian") -> MHTest:
+    """Wrap a big_univLinReg/big_univLogReg result as an mhtest
+    (bigstatsr attaches these attrs to its GWAS outputs).
+
+    Linear: t-scores with df = n - n_covar - 2 (Student predict);
+    logistic: z-scores (normal predict). transfo = abs.
+    """
+    score = np.asarray(gwas["score"], dtype=np.float64)
+    if family == "gaussian":
+        df = n - n_covar - 2
+
+        def predict(xtr):
+            return (scipy_stats.t.logsf(xtr, df=df) + np.log(2)) / np.log(10)
+    else:
+        def predict(xtr):
+            return (scipy_stats.norm.logsf(xtr) + np.log(2)) / np.log(10)
+
+    return MHTest(score=score, transfo=np.abs, predict=predict)
