@@ -17,7 +17,6 @@ import numpy as np
 import pandas as pd
 
 from bigsnpr_tpu.core.genotypes import GenoPack, FAM_COLS, MAP_COLS
-from bigsnpr_tpu.core import unpack
 
 _BED_MAGIC = bytes([0x6C, 0x1B, 0x01])
 

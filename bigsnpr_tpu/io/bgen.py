@@ -252,8 +252,6 @@ def snp_prodBGEN(bgenfile, beta, list_snp_id, ind_row=None, bgi_dir=None,
            if bgi_dir else Path(str(bgenfile) + ".bgi"))
     info = snp_readBGI(bgi, list_snp_id)
     buf = Path(bgenfile).read_bytes()
-    rng = np.random.default_rng(0)
-    from bigsnpr_tpu.core.codes import CODE_DOSAGE
 
     acc = np.zeros((len(ind_row), beta.shape[1]))
     for j, start in enumerate(info["file_start_position"]):

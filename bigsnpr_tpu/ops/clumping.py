@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import bigsnpr_tpu.config  # noqa: F401  (precision plumbing)
 from bigsnpr_tpu.ops.corr import _iter_band_blocks, _pair_r, _window_geometry
 from bigsnpr_tpu.ops.stats import snp_colstats
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bigsnpr_tpu.core.unpack import unpack_codes, codes_to_dosage
+from bigsnpr_tpu.core.unpack import unpack_codes
 from bigsnpr_tpu.ops.blocks import pick_block, pad_rows
 
 

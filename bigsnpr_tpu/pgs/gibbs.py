@@ -20,7 +20,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 MIN_H2 = 1e-3  # reference src/ldpred2-auto.cpp:11
 

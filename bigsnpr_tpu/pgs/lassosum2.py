@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 
 from bigsnpr_tpu.ops.corr import SparseLD
-from bigsnpr_tpu.pgs.band import build_band
 from bigsnpr_tpu.pgs.gibbs import lassosum_cd
 from bigsnpr_tpu.pgs.ldpred2 import _df_beta_arrays, _prep_sampler
 

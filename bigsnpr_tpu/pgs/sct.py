@@ -10,7 +10,7 @@ point per grid cell — every cell reuses the same device GEMM output.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
