@@ -71,6 +71,27 @@ class GenoPack:
     def subset(self, ind_row=None, ind_col=None) -> "GenoPack":
         """Materialized subset (reference snp_subset, R/subset-QC.R:33-98)."""
         ind_col = np.arange(self.m) if ind_col is None else np.asarray(ind_col)
+        if ind_row is None:
+            # column-only subset: plain row gather of packed bytes
+            new_map = (self.map.iloc[ind_col].reset_index(drop=True)
+                       if self.map is not None else self.map)
+            return GenoPack(packed=np.ascontiguousarray(
+                np.asarray(self.packed)[ind_col]), n=self.n,
+                fam=self.fam, map=new_map)
+        try:
+            from bigsnpr_tpu import native
+
+            packed2 = native.bed_subset_pack(
+                np.asarray(self.packed), ind_col, np.asarray(ind_row))
+        except Exception:
+            packed2 = None
+        if packed2 is not None:
+            new_fam = (self.fam.iloc[np.asarray(ind_row)].reset_index(drop=True)
+                       if self.fam is not None else self.fam)
+            new_map = (self.map.iloc[ind_col].reset_index(drop=True)
+                       if self.map is not None else self.map)
+            return GenoPack(packed=packed2, n=len(np.asarray(ind_row)),
+                            fam=new_fam, map=new_map)
         codes = unpack.np_unpack_codes(np.asarray(self.packed)[ind_col], self.n)
         if ind_row is not None:
             codes = codes[:, np.asarray(ind_row)]

@@ -37,31 +37,39 @@ def _counts_blocked(packed, n, block):
     return out.transpose(1, 0, 2).reshape(4, -1)
 
 
+@partial(jax.jit, static_argnames=("n", "block"))
+def _counts_rows_blocked(packed, ind_row, n, block):
+    m_pad, nb = packed.shape
+    blocks = packed.reshape(m_pad // block, block, nb)
+
+    def body(pb):
+        codes = jnp.take(unpack_codes(pb, n), ind_row, axis=1)
+        c0 = jnp.sum(codes == 3, axis=1)
+        c1 = jnp.sum(codes == 2, axis=1)
+        c2 = jnp.sum(codes == 0, axis=1)
+        cna = jnp.sum(codes == 1, axis=1)
+        return jnp.stack([c0, c1, c2, cna], axis=0).astype(jnp.int32)
+
+    out = jax.lax.map(body, blocks)
+    return out.transpose(1, 0, 2).reshape(4, -1)
+
+
 def snp_counts(pack, ind_row=None, block=None) -> np.ndarray:
     """(4, m) counts of dosage 0/1/2/NA per variant.
 
     Reference: bed_counts / bed_col_counts_cpp (src/bed-fun.cpp:51-98).
     """
     n = pack.n
-    if ind_row is not None:
-        # row-subset path: decode + gather (rare; used by autoSVD subsets)
-        return _counts_rows(pack, np.asarray(ind_row))
     packed = np.asarray(pack.packed)
     block = block or pick_block(n)
     padded, m = pad_rows(packed, block)
-    out = _counts_blocked(jnp.asarray(padded), n, block)
+    if ind_row is not None:
+        out = _counts_rows_blocked(
+            jnp.asarray(padded), jnp.asarray(np.asarray(ind_row), jnp.int32),
+            n, block)
+    else:
+        out = _counts_blocked(jnp.asarray(padded), n, block)
     return np.asarray(out)[:, :m]
-
-
-def _counts_rows(pack, ind_row):
-    from bigsnpr_tpu.core.unpack import np_unpack_codes
-
-    codes = np_unpack_codes(np.asarray(pack.packed), pack.n)[:, ind_row]
-    c0 = (codes == 3).sum(1)
-    c1 = (codes == 2).sum(1)
-    c2 = (codes == 0).sum(1)
-    cna = (codes == 1).sum(1)
-    return np.stack([c0, c1, c2, cna], axis=0)
 
 
 bed_counts = snp_counts
