@@ -130,6 +130,60 @@ def _pair_sums_block(packed_t, packed_b, n, precision):
     return Sxy, Sx, Sy, Sxx, Syy, Np
 
 
+# --- error-free f32 transforms (Dekker/Knuth). The pairwise sums are
+# exact integers < 2^23-ish, so TwoProd/TwoSum recover the cancelled
+# numerators exactly; only the final divide/sqrt rounds (~3e-7 on |r|<=1).
+# XLA does not reassociate floats, so these are safe under jit.
+
+def _two_prod(a, b):
+    c = a * 4097.0  # Veltkamp split at 2^12+1 for f32
+    a_hi = c - (c - a)
+    a_lo = a - a_hi
+    c = b * 4097.0
+    b_hi = c - (c - b)
+    b_lo = b - b_hi
+    p = a * b
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _cancel_free(pa, ea, pb, eb):
+    """(pa+ea) - (pb+eb) to f32 accuracy of the true value."""
+    d, ed = _two_sum(pa, -pb)
+    return d + (ed + (ea - eb))
+
+
+@partial(jax.jit, static_argnames=("n", "precision"))
+def _pair_r_device_block(packed_t, packed_b, t0, b0, left_start_t, THR,
+                         thr_floor, n, precision):
+    """Device-finalized kept-r block: (B, Wb) f32 with 0 for dropped pairs
+    (NaN r kept, as in the reference). ~12x less host traffic than
+    shipping the six sum planes."""
+    Sxy, Sx, Sy, Sxx, Syy, Np = _pair_sums_block(packed_t, packed_b, n,
+                                                 precision)
+    B, Wb = Sxy.shape
+    num = _cancel_free(*_two_prod(Np, Sxy), *_two_prod(Sx, Sy))
+    dx = _cancel_free(*_two_prod(Np, Sxx), *_two_prod(Sx, Sx))
+    dy = _cancel_free(*_two_prod(Np, Syy), *_two_prod(Sy, Sy))
+    r = num / jnp.sqrt(dx * dy)
+
+    jj0 = t0 + jax.lax.broadcasted_iota(jnp.int32, (B, Wb), 0)
+    jj = b0 + jax.lax.broadcasted_iota(jnp.int32, (B, Wb), 1)
+    in_window = (jj < jj0) & (jj >= left_start_t[:, None])
+
+    nona = jnp.clip(Np.astype(jnp.int32), 1, n)
+    pair_thr = jnp.maximum(THR[nona - 1], thr_floor)
+    keep = in_window & (jnp.isnan(r) | (jnp.abs(r) > pair_thr))
+    return jnp.where(keep, jnp.clip(r, -1.0, 1.0), 0.0)
+
+
 def _iter_band_blocks(packed, n, m, left_start, block):
     """Yield (t0, t1, b0, sums) per target block; band cols [b0, t1)."""
     dev_packed = jnp.asarray(np.asarray(packed))
@@ -181,12 +235,18 @@ def snp_cor(
     fill_diag: bool = True,
     infos_pos=None,
     block: int = 512,
+    finalize: str = "host",
 ) -> SparseLD:
     """Windowed sparse correlation matrix (reference snp_cor, R/corr.R:95-110).
 
     size: window in #SNPs if infos_pos is None, else in kb (multiplied by
     1000 internally, so pass cM/1000-style values for genetic distance —
     same contract as the reference).
+
+    finalize: "host" computes r in f64 on host from the exact integer
+    sums (bit-level parity); "device" finalizes on device with
+    error-free f32 transforms (~3e-7 absolute on r, 12x less host
+    traffic — the at-scale path).
     """
     sub = pack
     if ind_col is not None or ind_row is not None:
@@ -206,22 +266,43 @@ def snp_cor(
     thr_floor = np.sqrt(thr_r2)
 
     cols_i, cols_j, cols_x = [], [], []
-    for t0, t1, b0, sums in _iter_band_blocks(sub.packed, n, m, left_start, block):
-        r, Np = _pair_r(sums)
-        B, Wb = r.shape
-        jj0 = np.arange(t0, t1)[:, None]        # target (column of output)
-        jj = np.arange(b0, t1)[None, :]         # neighbor (row of output)
-        in_window = (jj < jj0) & (jj >= left_start[jj0])
-        nona = np.clip(Np.astype(np.int64), 1, n)
-        with np.errstate(invalid="ignore"):
-            pair_thr = np.maximum(THR[nona - 1], thr_floor)
-            keep = in_window & (np.isnan(r) | (np.abs(r) > pair_thr))
-        ii, kk = np.nonzero(keep)
-        if ii.size:
-            vals = np.clip(r[ii, kk], -1.0, 1.0)
-            cols_j.append(jj0[ii, 0])
-            cols_i.append(jj[0, kk])
-            cols_x.append(vals)
+    if finalize == "device":
+        import bigsnpr_tpu.config as config
+
+        dev_packed = jnp.asarray(np.asarray(sub.packed))
+        THR_d = jnp.asarray(np.nan_to_num(THR, nan=np.inf), dtype=jnp.float32)
+        for t0 in range(0, m, block):
+            t1 = min(t0 + block, m)
+            b0 = int(left_start[t0:t1].min())
+            r_kept = np.asarray(_pair_r_device_block(
+                dev_packed[t0:t1], dev_packed[b0:t1],
+                jnp.int32(t0), jnp.int32(b0),
+                jnp.asarray(left_start[t0:t1], dtype=jnp.int32),
+                THR_d, jnp.float32(thr_floor), n,
+                config.matmul_precision))
+            ii, kk = np.nonzero(r_kept)  # NaN != 0, so kept-NaNs included
+            if ii.size:
+                cols_j.append(t0 + ii)
+                cols_i.append(b0 + kk)
+                cols_x.append(r_kept[ii, kk].astype(np.float64))
+    else:
+        for t0, t1, b0, sums in _iter_band_blocks(sub.packed, n, m,
+                                                  left_start, block):
+            r, Np = _pair_r(sums)
+            B, Wb = r.shape
+            jj0 = np.arange(t0, t1)[:, None]    # target (column of output)
+            jj = np.arange(b0, t1)[None, :]     # neighbor (row of output)
+            in_window = (jj < jj0) & (jj >= left_start[jj0])
+            nona = np.clip(Np.astype(np.int64), 1, n)
+            with np.errstate(invalid="ignore"):
+                pair_thr = np.maximum(THR[nona - 1], thr_floor)
+                keep = in_window & (np.isnan(r) | (np.abs(r) > pair_thr))
+            ii, kk = np.nonzero(keep)
+            if ii.size:
+                vals = np.clip(r[ii, kk], -1.0, 1.0)
+                cols_j.append(jj0[ii, 0])
+                cols_i.append(jj[0, kk])
+                cols_x.append(vals)
 
     if fill_diag:
         cols_i.append(np.arange(m))

@@ -112,3 +112,42 @@ def test_ld_scores_sfbm_consistency():
     sub_ld = ld_scores_sfbm(corr, ind_sub=ind)
     dense = corr.to_dense()[np.ix_(ind, ind)]
     np.testing.assert_allclose(sub_ld, (dense**2).sum(0), rtol=1e-9)
+
+
+def test_device_finalize_matches_host():
+    """Device-finalized r (error-free f32 transforms) == host f64 finalize
+    to ~1e-7, identical sparsity pattern."""
+    pack = snp_fake(300, 150, seed=78, na_prob=0.08)
+    h = snp_cor(pack, size=30, alpha=0.05, thr_r2=0.01, fill_diag=False)
+    d = snp_cor(pack, size=30, alpha=0.05, thr_r2=0.01, fill_diag=False,
+                finalize="device")
+    H, D = h.to_dense(), d.to_dense()
+    np.testing.assert_array_equal(H != 0, D != 0)
+    both = H != 0
+    np.testing.assert_allclose(D[both], H[both], atol=3e-7, rtol=0)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/tests/testthat/testdata/example.ld"),
+    reason="PLINK fixture not available")
+def test_device_finalize_plink_parity(example_pack):
+    """PLINK parity holds through the device-finalize path too."""
+    import pandas as pd
+
+    size = 100
+    true = pd.read_csv("/root/reference/tests/testthat/testdata/example.ld",
+                       sep=r"\s+")
+    names = [f"SNP{k}" for k in range(example_pack.m)]
+    idx = {s: k for k, s in enumerate(names)}
+    ia = true["SNP_A"].map(idx).to_numpy()
+    ib = true["SNP_B"].map(idx).to_numpy()
+    keep = (ib - ia) <= size
+    ia, ib, r2_true = ia[keep], ib[keep], true["R2"].to_numpy()[keep]
+
+    got = snp_cor(example_pack, size=size, thr_r2=0.2, alpha=1.0,
+                  fill_diag=False, finalize="device")
+    g = got.upper.tocoo()
+    ours = {(i, j): v**2 for i, j, v in zip(g.row, g.col, g.data)}
+    assert len(ours) == len(ia)
+    for i, j, v in zip(ia, ib, r2_true):
+        assert abs(ours[(i, j)] - v) < 1e-6
