@@ -19,6 +19,7 @@ import numpy as np
 _SYMSXP, _LISTSXP, _CHARSXP = 1, 2, 9
 _LGLSXP, _INTSXP, _REALSXP, _CPLXSXP, _STRSXP, _VECSXP = 10, 13, 14, 15, 16, 19
 _RAWSXP = 24
+_S4SXP = 25
 _ALTREP, _NILVALUE, _REFSXP = 238, 254, 255
 _NA_INT = -2147483648
 
@@ -124,6 +125,9 @@ class _Reader:
             vals = np.frombuffer(self.rd(n), dtype=np.uint8)
             attr = self.item() if has_attr else None
             return _wrap(vals, attr)
+        if ptype == _S4SXP:
+            attr = self.item() if has_attr else None
+            return _wrap(None, attr)  # S4: slots live in the attributes
         raise ValueError(f"unhandled SEXP type {ptype} at offset {self.pos}")
 
     def _decode_altrep(self, info, state):
@@ -222,3 +226,25 @@ def to_frame(obj):
 
 def unwrap(obj):
     return obj.value if isinstance(obj, RObj) else obj
+
+
+def s4_sparse_to_scipy(obj):
+    """Convert a serialized Matrix::dsCMatrix / dgCMatrix RObj to scipy csc."""
+    import scipy.sparse as sp
+
+    a = obj.attrs
+    def get(name):
+        v = a[name]
+        return v.value if isinstance(v, RObj) else v
+    i = np.asarray(get("i"), dtype=np.int64)
+    p = np.asarray(get("p"), dtype=np.int64)
+    x = np.asarray(get("x"))
+    dim = tuple(np.asarray(get("Dim"), dtype=np.int64))
+    mat = sp.csc_matrix((x, i, p), shape=dim)
+    cls = get("class")
+    cls0 = cls[0] if isinstance(cls, (list, np.ndarray)) else cls
+    if isinstance(cls0, bytes):
+        cls0 = cls0.decode()
+    if str(cls0).startswith("ds"):  # symmetric storage -> symmetrize
+        mat = mat + mat.T - sp.diags(mat.diagonal())
+    return mat.tocsc()
