@@ -165,3 +165,32 @@ def test_project_pca_cross_dataset():
     # reversal-corrected projection must match the unreversed one
     np.testing.assert_allclose(res["simple_proj"], res0["simple_proj"],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_project_training_rows_recovers_scores(example_pack):
+    """Projecting the training rows reproduces the SVD scores (reference
+    test-2-pca-project.R: simple_proj[ind.row] == predict(obj.svd), 1e-4),
+    and OADP moves held-out group medians toward the reference medians."""
+    rng = np.random.default_rng(3)
+    train = np.sort(rng.choice(example_pack.n, 400, replace=False))
+    test = np.setdiff1d(np.arange(example_pack.n), train)
+    sub = example_pack.subset(ind_row=train)
+    svd = snp_randomSVD(sub, k=10, tol=1e-6)
+    svd.subset = np.arange(example_pack.m)
+
+    res = bed_projectSelfPCA(svd, example_pack)
+    scores = svd.scores()
+    # sign alignment is already fixed by shared v
+    np.testing.assert_allclose(res["simple_proj"][train], scores,
+                               rtol=2e-3, atol=2e-3)
+
+    # population-median property (fam families act as populations)
+    pop = np.repeat([1, 2, 3], [143, 167, 207])
+    ref_med = np.array([np.median(scores[pop[train] == k][:, 1:3], axis=0)
+                        for k in (1, 2, 3)])
+    p1 = np.array([np.median(res["simple_proj"][test][pop[test] == k][:, 1:3],
+                             axis=0) for k in (1, 2, 3)])
+    p2 = np.array([np.median(res["OADP_proj"][test][pop[test] == k][:, 1:3],
+                             axis=0) for k in (1, 2, 3)])
+    assert (ref_med**2).sum() > (p1**2).sum()          # simple proj shrinks
+    assert ((ref_med - p2)**2).sum() < ((ref_med - p1)**2).sum()  # OADP closer
