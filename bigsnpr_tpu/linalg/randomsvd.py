@@ -46,6 +46,7 @@ def _orth(Y: np.ndarray) -> np.ndarray:
 def snp_randomSVD(
     pack,
     fun_scaling=bed_scaleBinom,
+    ind_row=None,
     ind_col=None,
     k: int = 10,
     tol: float = 1e-4,
@@ -63,8 +64,8 @@ def snp_randomSVD(
     engine: "auto" uses the fused Pallas operator on TPU for 2-bit packs,
     the XLA blocked path otherwise.
     """
-    full = ind_col is None
-    sub = pack if full else pack.subset(ind_col=np.asarray(ind_col))
+    full = ind_col is None and ind_row is None
+    sub = pack if full else pack.subset(ind_row=ind_row, ind_col=ind_col)
     sc = fun_scaling(sub) if callable(fun_scaling) else fun_scaling
     center, scale = np.asarray(sc["center"]), np.asarray(sc["scale"])
     n, m = sub.n, sub.m
@@ -144,7 +145,7 @@ def snp_randomSVD(
                   niter=niter)
 
 
-def bed_randomSVD(pack, fun_scaling=bed_scaleBinom, ind_col=None, k=10,
-                  tol=1e-4, **kw) -> BigSVD:
-    return snp_randomSVD(pack, fun_scaling=fun_scaling, ind_col=ind_col, k=k,
-                         tol=tol, **kw)
+def bed_randomSVD(pack, fun_scaling=bed_scaleBinom, ind_row=None,
+                  ind_col=None, k=10, tol=1e-4, **kw) -> BigSVD:
+    return snp_randomSVD(pack, fun_scaling=fun_scaling, ind_row=ind_row,
+                         ind_col=ind_col, k=k, tol=tol, **kw)

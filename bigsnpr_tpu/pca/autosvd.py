@@ -94,7 +94,7 @@ def snp_autoSVD(
         it += 1
         log(f"Iteration {it}: computing SVD..")
         obj_svd = snp_randomSVD(pack, fun_scaling=fun_scaling,
-                                ind_col=ind_keep, k=k,
+                                ind_row=ind_row, ind_col=ind_keep, k=k,
                                 **(svd_kwargs or {}))
         if it > max_iter:
             log("Maximum number of iterations reached.")
