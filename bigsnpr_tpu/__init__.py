@@ -51,6 +51,7 @@ from bigsnpr_tpu.ops.splitld import snp_ldsplit
 from bigsnpr_tpu.pgs.ldsc import snp_ldsc, snp_ldsc2, coef_to_liab
 from bigsnpr_tpu.pgs.ldpred2 import (
     snp_ldpred2_inf, snp_ldpred2_grid, snp_ldpred2_auto,
+    ldpred2_auto_chain_qc,
 )
 from bigsnpr_tpu.pgs.lassosum2 import snp_lassosum2, seq_log
 from bigsnpr_tpu.pgs.prs import snp_PRS, snp_thr_correct

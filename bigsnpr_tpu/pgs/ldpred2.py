@@ -230,3 +230,22 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
             res["beta_est_sparse"] = np.asarray(bg, dtype=np.float64) / sd
         results.append(res)
     return results
+
+
+def ldpred2_auto_chain_qc(multi_auto, quantile: float = 0.95):
+    """Vignette chain-QC rule (reference vignettes/LDpred2.Rmd:421-431):
+    keep chains whose corr_est range exceeds 0.95 * the `quantile`-th
+    quantile of ranges. Returns (keep_mask, beta_auto = mean over kept)."""
+    ranges = np.array([
+        (np.nanmax(r["corr_est"]) - np.nanmin(r["corr_est"]))
+        if np.isfinite(r["corr_est"]).any() else np.nan
+        for r in multi_auto
+    ])
+    thr = 0.95 * np.nanquantile(ranges, quantile)
+    keep = ranges > thr
+    if keep.any():
+        beta_auto = np.mean([multi_auto[i]["beta_est"]
+                             for i in np.nonzero(keep)[0]], axis=0)
+    else:
+        beta_auto = np.full_like(multi_auto[0]["beta_est"], np.nan)
+    return keep, beta_auto
