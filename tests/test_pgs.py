@@ -216,3 +216,23 @@ def test_mle_profile_matches_lbfgsb():
         (jnp.float32(-0.5), jnp.float32(1.5)))
     assert abs(float(a_got) - ref.x[0]) < 1e-2
     assert abs(float(s_got) - ref.x[1]) / ref.x[1] < 0.05
+
+
+def test_auto_h2_path_consistent_with_sample_betas(pipeline):
+    """path_h2_est at report iterations == beta' R beta of the reported
+    sampling betas (reference test-8-LDpred2.R:105-106 analog; exact
+    identity of the incremental cur_h2_est tracking when shrink_corr=1)."""
+    corr, df = pipeline["corr"], pipeline["df_beta"]
+    burn_in, num_iter, step = 100, 100, 20
+    res = snp_ldpred2_auto(corr, df, h2_init=0.4, vec_p_init=[0.2],
+                           burn_in=burn_in, num_iter=num_iter,
+                           report_step=step, use_MLE=False)[0]
+    R = corr.to_dense()
+    n_rep = res["sample_beta"].shape[0]
+    assert n_rep == num_iter // step
+    for t in range(n_rep):
+        k = burn_in + (t + 1) * step - 1
+        s = res["sample_beta"][t]
+        h2_direct = s @ R @ s
+        np.testing.assert_allclose(res["path_h2_est"][k], h2_direct,
+                                   rtol=5e-3, atol=1e-4)
