@@ -31,8 +31,12 @@ def _conflict_edges(sub, pos, size_scaled, thr_r2, block=512):
     """(i, j) pairs (i < j) within the window with r^2 > thr_r2."""
     n, m = sub.n, sub.m
     left_start = _window_geometry(pos, size_scaled)
+    is_dosage = hasattr(sub, "code256")
+    data = sub.codes if is_dosage else sub.packed
+    code256 = sub.code256 if is_dosage else None
     ei, ej = [], []
-    for t0, t1, b0, sums in _iter_band_blocks(sub.packed, n, m, left_start, block):
+    for t0, t1, b0, sums in _iter_band_blocks(data, n, m, left_start, block,
+                                              code256=code256):
         r, _ = _pair_r(sums)
         jj0 = np.arange(t0, t1)[:, None]
         jj = np.arange(b0, t1)[None, :]

@@ -184,14 +184,54 @@ def _pair_r_device_block(packed_t, packed_b, t0, b0, left_start_t, THR,
     return jnp.where(keep, jnp.clip(r, -1.0, 1.0), 0.0)
 
 
-def _iter_band_blocks(packed, n, m, left_start, block):
-    """Yield (t0, t1, b0, sums) per target block; band cols [b0, t1)."""
+@partial(jax.jit, static_argnames=("precision",))
+def _pair_sums_block_bytes(codes_t, codes_b, table, precision):
+    """Dosage-pack variant of _pair_sums_block: byte codes + 256-table.
+
+    Dosage values are not small integers, so the f32 sums carry ~1e-6
+    relative GEMM error (precision=highest) instead of being exact —
+    tolerance-grade, like any dosage-based LD."""
+    xt_d = jnp.take(table, codes_t.astype(jnp.int32))
+    xb_d = jnp.take(table, codes_b.astype(jnp.int32))
+    mt = (~jnp.isnan(xt_d)).astype(jnp.float32)
+    mb = (~jnp.isnan(xb_d)).astype(jnp.float32)
+    xt = jnp.where(jnp.isnan(xt_d), 0.0, xt_d)
+    xb = jnp.where(jnp.isnan(xb_d), 0.0, xb_d)
+
+    A = jnp.concatenate([xt, xt * xt, mt], axis=0)
+    C = jnp.concatenate([xb, xb * xb, mb], axis=0)
+    G = jnp.dot(A, C.T, preferred_element_type=jnp.float32,
+                precision=precision)
+    B = codes_t.shape[0]
+    Wb = codes_b.shape[0]
+    Sxy = G[0:B, 0:Wb]
+    Sx = G[0:B, 2 * Wb:3 * Wb]
+    Sy = G[2 * B:3 * B, 0:Wb]
+    Sxx = G[B:2 * B, 2 * Wb:3 * Wb]
+    Syy = G[2 * B:3 * B, Wb:2 * Wb]
+    Np = G[2 * B:3 * B, 2 * Wb:3 * Wb]
+    return Sxy, Sx, Sy, Sxx, Syy, Np
+
+
+def _iter_band_blocks(packed, n, m, left_start, block, code256=None):
+    """Yield (t0, t1, b0, sums) per target block; band cols [b0, t1).
+
+    `packed` is (m, nb) 2-bit bytes, or (m, n) byte codes when a
+    `code256` decode table is given (DosagePack)."""
     dev_packed = jnp.asarray(np.asarray(packed))
+    table = (None if code256 is None
+             else jnp.asarray(code256, dtype=jnp.float32))
     for t0 in range(0, m, block):
         t1 = min(t0 + block, m)
         b0 = int(left_start[t0:t1].min())
-        sums = _pair_sums_block(
-            dev_packed[t0:t1], dev_packed[b0:t1], n, config.matmul_precision)
+        if code256 is None:
+            sums = _pair_sums_block(
+                dev_packed[t0:t1], dev_packed[b0:t1], n,
+                config.matmul_precision)
+        else:
+            sums = _pair_sums_block_bytes(
+                dev_packed[t0:t1], dev_packed[b0:t1], table,
+                config.matmul_precision)
         yield t0, t1, b0, tuple(np.asarray(s, dtype=np.float64) for s in sums)
 
 
@@ -265,6 +305,12 @@ def snp_cor(
     THR = cor_thresholds(n, alpha)
     thr_floor = np.sqrt(thr_r2)
 
+    is_dosage = hasattr(sub, "code256")
+    data = sub.codes if is_dosage else sub.packed
+    code256 = sub.code256 if is_dosage else None
+    if finalize == "device" and is_dosage:
+        finalize = "host"  # device EFT finalize assumes integer hard-call sums
+
     cols_i, cols_j, cols_x = [], [], []
     if finalize == "device":
         import bigsnpr_tpu.config as config
@@ -286,8 +332,8 @@ def snp_cor(
                 cols_i.append(b0 + kk)
                 cols_x.append(r_kept[ii, kk].astype(np.float64))
     else:
-        for t0, t1, b0, sums in _iter_band_blocks(sub.packed, n, m,
-                                                  left_start, block):
+        for t0, t1, b0, sums in _iter_band_blocks(data, n, m, left_start,
+                                                  block, code256=code256):
             r, Np = _pair_r(sums)
             B, Wb = r.shape
             jj0 = np.arange(t0, t1)[:, None]    # target (column of output)

@@ -57,3 +57,26 @@ def test_dosage_svd(dpack):
     Xt = np.nan_to_num((X - sc["center"]) / sc["scale"])
     _, s, _ = np.linalg.svd(Xt, full_matrices=False)
     np.testing.assert_allclose(res.d, s[:3], rtol=1e-3)
+
+
+def test_dosage_ld_ops(dpack):
+    """snp_cor / clumping / ld_scores on DosagePack vs f64 oracle."""
+    from bigsnpr_tpu.ops.corr import snp_cor
+    from bigsnpr_tpu.ops.ldscores import snp_ld_scores
+    from bigsnpr_tpu.ops.clumping import snp_clumping
+    from tests.test_corr import naive_pair_r
+
+    X = dpack.to_dosage()
+    corr = snp_cor(dpack, size=12, fill_diag=False)
+    D = corr.to_dense()
+    m = dpack.m
+    for j0 in range(0, m, 7):
+        for j in range(max(0, j0 - 12), j0):
+            r, _ = naive_pair_r(X[:, j0], X[:, j])
+            if D[j, j0] != 0:
+                np.testing.assert_allclose(D[j, j0], np.clip(r, -1, 1),
+                                           atol=1e-4)
+    keep = snp_clumping(dpack, infos_chr=np.ones(m, dtype=int), thr_r2=0.9)
+    assert 0 < len(keep) <= m
+    ld = snp_ld_scores(dpack, size=12)
+    assert np.isfinite(ld).all() and (ld >= 1 - 1e-9).all()
