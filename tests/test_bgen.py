@@ -133,3 +133,28 @@ def test_prod_bgen(bgen_files, oracles):
     dos[:, 18] = dos[:, 17]
     oracle = dos @ beta              # NaN propagates
     np.testing.assert_allclose(out, oracle, rtol=1e-6, equal_nan=True)
+
+
+def test_bgen_to_pgs_flow(bgen_files, oracles):
+    """Imputed-data pipeline: BGEN dosages -> LD -> LDpred2-grid runs."""
+    from bigsnpr_tpu.io.bgen import snp_readBGEN
+    from bigsnpr_tpu.ops.corr import snp_cor
+    from bigsnpr_tpu.pgs.ldpred2 import snp_ldpred2_grid
+
+    variants, dosages, _ = oracles
+    IDs = [f"1_{p}_{a1}_{a2}" for p, a1, a2 in zip(
+        variants["physical.pos"], variants["allele1"], variants["allele2"])]
+    pack = snp_readBGEN(bgen_files, [IDs])
+    m = pack.m
+    corr = snp_cor(pack, size=m, fill_diag=True)
+    assert corr.shape == (m, m)
+
+    rng = np.random.default_rng(4)
+    df_beta = {"beta": rng.normal(0, 0.02, m),
+               "beta_se": np.full(m, 0.02),
+               "n_eff": np.full(m, 10000.0)}
+    out = snp_ldpred2_grid(corr, df_beta,
+                           {"p": [0.5], "h2": [0.3], "sparse": [False]},
+                           burn_in=30, num_iter=50)
+    assert out.shape == (m, 1)
+    assert np.isfinite(out).all()
