@@ -145,9 +145,27 @@ def test_bgen_to_pgs_flow(bgen_files, oracles):
     IDs = [f"1_{p}_{a1}_{a2}" for p, a1, a2 in zip(
         variants["physical.pos"], variants["allele1"], variants["allele2"])]
     pack = snp_readBGEN(bgen_files, [IDs])
+    # QC as a user would: drop near-monomorphic + duplicate-position variants
+    X = pack.to_dosage()
+    af = np.nanmean(X, axis=0) / 2
+    maf_ok = np.minimum(af, 1 - af) > 0.05
+    _, first = np.unique(variants["physical.pos"], return_index=True)
+    keep = np.zeros(pack.m, dtype=bool)
+    keep[first] = True
+    keep &= maf_ok
+    pack = pack.subset(ind_col=np.nonzero(keep)[0])
+    # prune perfect proxies (the fixture repeats dosage patterns at
+    # distinct positions; |r|=1 pairs make any sampler diverge, as in
+    # the reference) — standard clumping step
+    from bigsnpr_tpu.ops.clumping import snp_clumping
+
+    kept = snp_clumping(pack, infos_chr=np.ones(pack.m, dtype=int),
+                        thr_r2=0.95, size=pack.m)
+    pack = pack.subset(ind_col=kept)
     m = pack.m
     corr = snp_cor(pack, size=m, fill_diag=True)
     assert corr.shape == (m, m)
+    assert np.isfinite(corr.upper.data).all()
 
     rng = np.random.default_rng(4)
     df_beta = {"beta": rng.normal(0, 0.02, m),
