@@ -235,7 +235,10 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
 def ldpred2_auto_chain_qc(multi_auto, quantile: float = 0.95):
     """Vignette chain-QC rule (reference vignettes/LDpred2.Rmd:421-431):
     keep chains whose corr_est range exceeds 0.95 * the `quantile`-th
-    quantile of ranges. Returns (keep_mask, beta_auto = mean over kept)."""
+    quantile of ranges. Returns (keep_mask, beta_auto = mean over kept).
+
+    Calibrated for ~30 chains (the vignette's vec_p_init length); with
+    only a handful of chains the quantile rule is aggressive."""
     ranges = np.array([
         (np.nanmax(r["corr_est"]) - np.nanmin(r["corr_est"]))
         if np.isfinite(r["corr_est"]).any() else np.nan
