@@ -107,20 +107,43 @@ def _pair_sums_block(packed_t, packed_b, n, precision):
 
     Returns (Sxy, Sx, Sy, Sxx, Syy, Npair) where e.g. Sx = sum of x over
     jointly-nonmissing samples (x = target dosage, y = band dosage).
+    Samples are processed in byte chunks so the decoded planes stay
+    ~100 MB regardless of cohort size (the reference streams samples the
+    same way, one pass per pair, src/corr.cpp:58-75).
     """
-    ct = unpack_codes(packed_t, n)
-    cb = unpack_codes(packed_b, n)
-    mt = (ct != 1).astype(jnp.float32)
-    mb = (cb != 1).astype(jnp.float32)
-    xt = (2 - ((ct + 1) >> 1)).astype(jnp.float32) * mt
-    xb = (2 - ((cb + 1) >> 1)).astype(jnp.float32) * mb
+    B = packed_t.shape[0]
+    Wb = packed_b.shape[0]
+    nb = packed_t.shape[1]
+    # chunk the byte axis: planes are 3*(B+Wb)*4*cb floats
+    target = 32 * 1024 * 1024  # elements
+    cb_bytes = max(256, min(nb, target // max(1, 3 * (B + Wb) * 4)))
+    nchunks = -(-nb // cb_bytes)
+    pad = nchunks * cb_bytes - nb
+    # pad with NA bytes so chunk tails contribute nothing
+    pt = jnp.pad(packed_t, ((0, 0), (0, pad)), constant_values=0b01010101)
+    pb = jnp.pad(packed_b, ((0, 0), (0, pad)), constant_values=0b01010101)
+    # the true last byte may hold zero pad bits (decode as dosage 2);
+    # mask via n: only the first chunk-relative slice containing them
+    # matters — handled by unpack's [:, :n] in the unchunked path, here we
+    # rewrite the tail byte on host side instead (see snp_cor wrappers).
+    pt = pt.reshape(B, nchunks, cb_bytes).transpose(1, 0, 2)
+    pb = pb.reshape(Wb, nchunks, cb_bytes).transpose(1, 0, 2)
 
-    A = jnp.concatenate([xt, xt * xt, mt], axis=0)       # (3B, n)
-    C = jnp.concatenate([xb, xb * xb, mb], axis=0)       # (3Wb, n)
-    G = jnp.dot(A, C.T, preferred_element_type=jnp.float32,
-                precision=precision)                      # (3B, 3Wb)
-    B = ct.shape[0]
-    Wb = cb.shape[0]
+    def body(acc, chunks):
+        pct, pcb = chunks
+        ct = unpack_codes(pct, cb_bytes * 4)
+        cc = unpack_codes(pcb, cb_bytes * 4)
+        mt = (ct != 1).astype(jnp.float32)
+        mb = (cc != 1).astype(jnp.float32)
+        xt = (2 - ((ct + 1) >> 1)).astype(jnp.float32) * mt
+        xb = (2 - ((cc + 1) >> 1)).astype(jnp.float32) * mb
+        A = jnp.concatenate([xt, xt * xt, mt], axis=0)
+        C = jnp.concatenate([xb, xb * xb, mb], axis=0)
+        return acc + jnp.dot(A, C.T, preferred_element_type=jnp.float32,
+                             precision=precision), None
+
+    G0 = jnp.zeros((3 * B, 3 * Wb), jnp.float32)
+    G, _ = jax.lax.scan(body, G0, (pt, pb))
     Sxy = G[0:B, 0:Wb]
     Sx = G[0:B, 2 * Wb:3 * Wb]          # x against y-mask
     Sy = G[2 * B:3 * B, 0:Wb]           # x-mask against y
@@ -213,11 +236,26 @@ def _pair_sums_block_bytes(codes_t, codes_b, table, precision):
     return Sxy, Sx, Sy, Sxx, Syy, Np
 
 
+def _na_pad_tail(packed: np.ndarray, n: int) -> np.ndarray:
+    """Rewrite the pad bits of the last partial byte to NA codes (PLINK
+    zero-pads, which would decode as dosage 2 in chunked kernels)."""
+    rem = n % 4
+    if rem == 0:
+        return np.asarray(packed)
+    out = np.array(packed, copy=True)
+    keep = (1 << (2 * rem)) - 1
+    na_fill = sum(0b01 << (2 * k) for k in range(rem, 4))
+    out[:, -1] = (out[:, -1] & keep) | na_fill
+    return out
+
+
 def _iter_band_blocks(packed, n, m, left_start, block, code256=None):
     """Yield (t0, t1, b0, sums) per target block; band cols [b0, t1).
 
     `packed` is (m, nb) 2-bit bytes, or (m, n) byte codes when a
     `code256` decode table is given (DosagePack)."""
+    if code256 is None:
+        packed = _na_pad_tail(np.asarray(packed), n)
     dev_packed = jnp.asarray(np.asarray(packed))
     table = (None if code256 is None
              else jnp.asarray(code256, dtype=jnp.float32))
@@ -315,7 +353,7 @@ def snp_cor(
     if finalize == "device":
         import bigsnpr_tpu.config as config
 
-        dev_packed = jnp.asarray(np.asarray(sub.packed))
+        dev_packed = jnp.asarray(_na_pad_tail(np.asarray(sub.packed), n))
         THR_d = jnp.asarray(np.nan_to_num(THR, nan=np.inf), dtype=jnp.float32)
         for t0 in range(0, m, block):
             t1 = min(t0 + block, m)
