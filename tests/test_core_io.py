@@ -72,3 +72,21 @@ def test_bed_byte_identity(example_pack, tmp_path):
     orig = open("/root/reference/inst/extdata/example.bed", "rb").read()
     ours = open(out, "rb").read()
     assert orig == ours
+
+
+def test_randomized_subsets(example_pack):
+    """10 random row/col subsets == dense slicing (reference test-1-subset.R)."""
+    X = example_pack.to_dosage()
+    rng = np.random.default_rng(17)
+    for k in range(10):
+        ind_row = np.sort(rng.choice(example_pack.n, rng.integers(1, 51),
+                                     replace=False))
+        ind_col = np.sort(rng.choice(example_pack.m, rng.integers(1, 201),
+                                     replace=False))
+        sub = example_pack.subset(ind_row=ind_row, ind_col=ind_col)
+        np.testing.assert_array_equal(sub.to_dosage(),
+                                      X[np.ix_(ind_row, ind_col)])
+        assert list(sub.fam["sample.ID"]) == \
+            list(example_pack.fam["sample.ID"].iloc[ind_row])
+        assert list(sub.map["marker.ID"]) == \
+            list(example_pack.map["marker.ID"].iloc[ind_col])
