@@ -74,8 +74,13 @@ def snp_randomSVD(
     if engine != "xla" and hasattr(sub, "packed"):
         import jax
 
-        if engine == "pallas" or (engine == "auto"
-                                  and jax.default_backend() == "tpu"):
+        on_tpu = jax.default_backend() == "tpu"
+        if engine == "mesh" or (engine == "auto" and on_tpu
+                                and len(jax.devices()) > 1):
+            from bigsnpr_tpu.parallel.mesh import MeshOperator
+
+            op = MeshOperator(sub, center, np.where(scale > 0, scale, 1.0))
+        elif engine == "pallas" or (engine == "auto" and on_tpu):
             from bigsnpr_tpu.ops.pallas_kernels import PallasOperator
 
             op = PallasOperator(sub, center,

@@ -117,6 +117,78 @@ def cprod_fn(mesh: Mesh, precision="highest"):
         out_specs=P("v", None)))
 
 
+def prod_fn(mesh: Mesh, precision="highest"):
+    """Jitted sharded X̃ U: (packed, U, center, scale) -> (n_pad, l) P('s')."""
+
+    def local(packed_loc, U_loc, c_loc, s_loc):
+        n_loc = packed_loc.shape[1] * 4
+        xt = unpack_standardized(packed_loc, n_loc, c_loc, s_loc)
+        y = jnp.dot(xt.T, U_loc, preferred_element_type=jnp.float32,
+                    precision=precision)
+        return jax.lax.psum(y, "v")
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("v", "s"), P("v", None), P("v"), P("v")),
+        out_specs=P("s", None)))
+
+
+class MeshOperator:
+    """Device-mesh-sharded standardized genotype operator with the same
+    cprod/prod surface as PallasOperator — the multi-chip compute path
+    for randomSVD/autoSVD (data-parallel samples x tensor-parallel
+    variants; psum over ICI)."""
+
+    def __init__(self, pack, center, scale, mesh: Mesh | None = None,
+                 precision: str = "highest"):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.packed, self.n, self.m, self.n_pad = shard_pack(pack, self.mesh)
+        m_pad = self.packed.shape[0]
+        self.m_pad = m_pad
+
+        center = np.asarray(center, dtype=np.float64)
+        scale = np.asarray(scale, dtype=np.float64)
+        good = scale > 0
+        c = np.full(m_pad, 2.0, dtype=np.float32)
+        s = np.ones(m_pad, dtype=np.float32)
+        c[:self.m] = np.where(good, center, 2.0)
+        s[:self.m] = np.where(good, scale, 1.0)
+        self.center = jax.device_put(
+            jnp.asarray(c), jax.sharding.NamedSharding(self.mesh, P("v")))
+        self.scale = jax.device_put(
+            jnp.asarray(s), jax.sharding.NamedSharding(self.mesh, P("v")))
+        self._cprod = cprod_fn(self.mesh, precision=precision)
+        self._prod = prod_fn(self.mesh, precision=precision)
+        self._sV = jax.sharding.NamedSharding(self.mesh, P("s", None))
+        self._sU = jax.sharding.NamedSharding(self.mesh, P("v", None))
+
+    def cprod(self, V):
+        V = np.asarray(V, dtype=np.float32)
+        squeeze = V.ndim == 1
+        if squeeze:
+            V = V[:, None]
+        Vp = np.zeros((self.n_pad, V.shape[1]), dtype=np.float32)
+        Vp[:self.n] = V
+        out = self._cprod(self.packed,
+                          jax.device_put(jnp.asarray(Vp), self._sV),
+                          self.center, self.scale)
+        res = np.asarray(out)[:self.m]
+        return res[:, 0] if squeeze else res
+
+    def prod(self, U):
+        U = np.asarray(U, dtype=np.float32)
+        squeeze = U.ndim == 1
+        if squeeze:
+            U = U[:, None]
+        Up = np.zeros((self.m_pad, U.shape[1]), dtype=np.float32)
+        Up[:self.m] = U
+        out = self._prod(self.packed,
+                         jax.device_put(jnp.asarray(Up), self._sU),
+                         self.center, self.scale)
+        res = np.asarray(out)[:self.n]
+        return res[:, 0] if squeeze else res
+
+
 def colstats_fn(mesh: Mesh):
     """Jitted sharded per-variant (sum, ssq, nona) with psum over samples."""
     from bigsnpr_tpu.core.unpack import unpack_codes

@@ -92,3 +92,32 @@ def test_sharded_cprod_matches_dense():
                             np.where(sc["scale"] > 0, sc["scale"], 1.0))
     np.testing.assert_allclose(np.asarray(out)[:m], Xt.T @ V[:n],
                                rtol=2e-4, atol=2e-4)
+
+
+@needs_8
+def test_mesh_operator_svd_matches_single_device():
+    """Full randomized SVD through the sharded MeshOperator == XLA path
+    (the distributed compute path of autoSVD, BASELINE configs[4] analog)."""
+    from bigsnpr_tpu.linalg.randomsvd import snp_randomSVD
+
+    pack = snp_fake(230, 170, seed=24, na_prob=0.04)
+    svd_mesh = snp_randomSVD(pack, k=5, tol=1e-6, engine="mesh")
+    svd_xla = snp_randomSVD(pack, k=5, tol=1e-6, engine="xla")
+    np.testing.assert_allclose(svd_mesh.d, svd_xla.d, rtol=1e-4)
+    for j in range(5):
+        c = abs(np.dot(svd_mesh.u[:, j], svd_xla.u[:, j]))
+        assert c > 0.999, (j, c)
+
+
+@needs_8
+def test_mesh_autosvd():
+    """autoSVD end-to-end on the virtual 8-device mesh."""
+    from bigsnpr_tpu.pca.autosvd import snp_autoSVD
+
+    pack = snp_fake(150, 200, seed=25)
+    res = snp_autoSVD(pack, thr_r2=0.95, min_mac=2, min_maf=0.01, k=4,
+                      max_iter=1, svd_kwargs={"engine": "mesh"})
+    assert res.d.shape == (4,)
+    res_x = snp_autoSVD(pack, thr_r2=0.95, min_mac=2, min_maf=0.01, k=4,
+                        max_iter=1, svd_kwargs={"engine": "xla"})
+    np.testing.assert_allclose(res.d, res_x.d, rtol=1e-3)
