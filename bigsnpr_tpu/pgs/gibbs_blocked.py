@@ -27,6 +27,31 @@ from bigsnpr_tpu.pgs.gibbs import _sweep_gibbs, _mle_alpha_profile, MIN_H2
 from bigsnpr_tpu.pgs.band import build_band
 
 
+def shard_blocked_arrays(bands, slot, mesh=None):
+    """Place the block-axis arrays on a device mesh ('v' axis): GSPMD then
+    partitions the vmapped per-block scans across chips and turns the
+    per-sweep global reductions (gap, nb_causal, h2, MLE sums) into
+    all-reduces over ICI — multi-chip LDpred2 without code changes.
+
+    Pads the block axis to a multiple of the device count (empty blocks
+    are all-padding slots and contribute nothing)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        devs = np.asarray(jax.devices())
+        mesh = Mesh(devs, axis_names=("b",))
+    nd = mesh.devices.size
+    B = bands.shape[0]
+    pad = (-B) % nd
+    if pad:
+        bands = np.concatenate(
+            [bands, np.zeros((pad,) + bands.shape[1:], bands.dtype)], axis=0)
+    bands_s = jax.device_put(
+        jnp.asarray(bands), NamedSharding(mesh, P("b", None, None)))
+    return bands_s, jnp.asarray(slot), B + pad
+
+
 def block_layout(block_sizes):
     """(slot_of_global (m,), global_of_slot (B, mb), valid (B, mb))."""
     sizes = np.asarray(block_sizes, dtype=np.int64)

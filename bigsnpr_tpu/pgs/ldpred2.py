@@ -135,7 +135,8 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
                      allow_jump_sign: bool = True, shrink_corr: float = 1.0,
                      use_MLE: bool = True, p_bounds=(1e-5, 1.0),
                      alpha_bounds=(-1.5, 0.5), ind_corr=None,
-                     seed: int = 1, blocks=None) -> list[dict]:
+                     seed: int = 1, blocks=None,
+                     shard_blocks: bool = False) -> list[dict]:
     """Auto model (reference snp_ldpred2_auto, R/LDpred2.R:203-286).
 
     Returns a list (over vec_p_init) of dicts with beta_est, postp_est,
@@ -168,11 +169,16 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
         blocks_arr = np.asarray(blocks, dtype=np.int64)
         bands, Wb = gb.build_block_bands(corr, blocks_arr, ind_corr=ind_corr)
         slot, _, _ = gb.block_layout(blocks_arr)
-        B, mb = bands.shape[0], bands.shape[1]
+        if shard_blocks:
+            bands_dev, slot_dev, B = gb.shard_blocked_arrays(bands, slot)
+        else:
+            bands_dev, slot_dev, B = (jnp.asarray(bands), jnp.asarray(slot),
+                                      bands.shape[0])
+        mb = bands.shape[1]
         m = len(beta_hat)
         runb = jax.vmap(
             lambda p0, k: gb.gibbs_auto_blocked(
-                jnp.asarray(bands), jnp.asarray(slot),
+                bands_dev, slot_dev,
                 jnp.asarray(beta_hat, jnp.float32),
                 jnp.asarray(N, jnp.float32),
                 jnp.asarray(log_var, jnp.float32),

@@ -83,3 +83,21 @@ def test_auto_blocked_statistical(blockdiag):
     assert r > 0.95, r
     assert abs(res_blk["h2_est"] - res_seq["h2_est"]) < 0.35 * max(
         res_seq["h2_est"], 0.1)
+
+
+def test_auto_sharded_blocks_matches_unsharded(blockdiag):
+    """GSPMD-sharded block axis == unsharded (same program, partitioned):
+    the multi-chip LDpred2 path on the virtual 8-device mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    corr, df_beta, sizes = blockdiag
+    kw = dict(h2_init=0.2, vec_p_init=[0.2], burn_in=60, num_iter=60,
+              use_MLE=False, blocks=sizes)
+    r0 = snp_ldpred2_auto(corr, df_beta, **kw)[0]
+    r1 = snp_ldpred2_auto(corr, df_beta, shard_blocks=True, **kw)[0]
+    np.testing.assert_allclose(r1["beta_est"], r0["beta_est"],
+                               rtol=5e-4, atol=1e-8)
+    np.testing.assert_allclose(r1["path_h2_est"], r0["path_h2_est"],
+                               rtol=5e-4, atol=1e-7)
