@@ -35,6 +35,7 @@ from bigsnpr_tpu.ops.stats import (
     snp_scaleBinom,
     bed_scaleBinom,
     snp_scaleAlpha,
+    as_scaling_fun,
 )
 from bigsnpr_tpu.ops.matvec import (
     snp_prodVec,

@@ -127,6 +127,9 @@ def snp_cprodVec(pack, v, center=None, scale=None, block=None):
     """X̃ᵀ v: per-variant scaled dot products (reference bed_cprodVec,
     R/bed-mult-vec.R:50-75 / src/bed-prod-vec.cpp:59-97)."""
     v = jnp.asarray(v, dtype=jnp.float32)
+    if v.shape[0] != pack.n:
+        raise ValueError(f"cprodVec: vector length {v.shape[0]} != "
+                         f"n_samples {pack.n}")
     squeeze = v.ndim == 1
     V = v[:, None] if squeeze else v
     if _is_dosage(pack):
@@ -154,6 +157,9 @@ def snp_prodVec(pack, u, center=None, scale=None, block=None):
     """X̃ u: per-sample scores (reference bed_prodVec,
     R/bed-mult-vec.R:20-49 / src/bed-prod-vec.cpp:15-51)."""
     u = jnp.asarray(u, dtype=jnp.float32)
+    if u.shape[0] != pack.m:
+        raise ValueError(f"prodVec: vector length {u.shape[0]} != "
+                         f"m_variants {pack.m}")
     squeeze = u.ndim == 1
     U = u[:, None] if squeeze else u
     if _is_dosage(pack):

@@ -158,3 +158,20 @@ def snp_scaleAlpha(alpha: float = -1.0):
         return {"center": 2 * af, "scale": (2 * af * (1 - af)) ** (-alpha / 2)}
 
     return fun
+
+
+def as_scaling_fun(center, scale, ind_col=None):
+    """Wrap explicit center/scale vectors as a fun_scaling
+    (bigstatsr::as_scaling_fun, used via reference R/autoSVD.R docs)."""
+    center = np.asarray(center, dtype=np.float64)
+    scale = np.asarray(scale, dtype=np.float64)
+    base = np.arange(len(center)) if ind_col is None else np.asarray(ind_col)
+    lookup = {int(j): k for k, j in enumerate(base)}
+
+    def fun(pack, ind_row=None):
+        m = pack.m
+        if m == len(center):
+            return {"center": center, "scale": scale}
+        raise ValueError("as_scaling_fun: length mismatch with pack")
+
+    return fun
