@@ -151,3 +151,19 @@ def test_device_finalize_plink_parity(example_pack):
     assert len(ours) == len(ia)
     for i, j, v in zip(ia, ib, r2_true):
         assert abs(ours[(i, j)] - v) < 1e-6
+
+
+def test_ld_scores_match_cor_subsets():
+    """10 random (ind_row, ind_col, size): ld_scores == colSums(corr^2)
+    (reference test-2-ld-scores.R:15-30)."""
+    pack = snp_fake(120, 80, seed=31, na_prob=0.05)
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        ind_row = np.sort(rng.choice(120, 60, replace=False))
+        ind_col = np.sort(rng.choice(80, 40, replace=False))
+        size = int(rng.integers(10, 20))
+        corr = snp_cor(pack, ind_row=ind_row, ind_col=ind_col, size=size,
+                       fill_diag=True)
+        ld = snp_ld_scores(pack, ind_row=ind_row, ind_col=ind_col, size=size)
+        assert len(ld) == 40
+        np.testing.assert_allclose(ld, corr.col_sums_sq(), rtol=1e-9)
