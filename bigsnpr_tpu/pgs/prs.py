@@ -17,11 +17,14 @@ from bigsnpr_tpu.ops.matvec import snp_prodVec
 
 def _prod_vec_rev(pack, betas, same, ind_keep):
     """X[:, keep] @ ((2*same-1)*betas) + 2*sum(betas[~same])
-    (reference prodVecRev, R/PRS.R:3-7)."""
+    (reference prodVecRev, R/PRS.R:3-7).
+
+    Column-subsets the pack first (a cheap packed-row gather) so each
+    threshold group touches only its own columns — the incremental C+T
+    loop stays O(n*m) total across all thresholds."""
     betas_mod = (2 * same.astype(np.float64) - 1) * betas
-    u = np.zeros(pack.m)
-    u[ind_keep] = betas_mod
-    score = np.asarray(snp_prodVec(pack, u), dtype=np.float64)
+    sub = pack.subset(ind_col=np.asarray(ind_keep))
+    score = np.asarray(snp_prodVec(sub, betas_mod), dtype=np.float64)
     return score + 2 * betas[~same].sum()
 
 
