@@ -131,3 +131,22 @@ def test_sct_end_to_end(setup):
     pred_scores = multi.scores @ res["mod"].beta + res["mod"].intercept
     np.testing.assert_allclose(np.corrcoef(pred, pred_scores)[0, 1], 1.0,
                                atol=1e-6)
+
+
+def test_grid_clumping_info_threshold(setup):
+    """INFO-score grid dimension (Q3): higher thr.imp restricts the
+    candidate set like the reference's info.chr >= thr.imp filter."""
+    pack, lpS, chrs, pos = (setup["pack"], setup["lpS"], setup["chrs"],
+                            setup["pos"])
+    rng = np.random.default_rng(9)
+    infos_imp = rng.uniform(0.2, 1.0, pack.m)
+    all_keep, grid = snp_grid_clumping(
+        pack, chrs, pos, lpS, grid_thr_r2=(0.2,), grid_base_size=(100,),
+        infos_imp=infos_imp, grid_thr_imp=(0.3, 0.9))
+    assert len(grid) == 2
+    k_low, k_high = all_keep[1][0], all_keep[1][1]
+    # high-INFO cell only contains high-INFO variants
+    assert np.all(infos_imp[k_high] >= 0.9)
+    assert len(k_high) <= len(k_low)
+    # grid rows ordered thr.imp-major (reference expand.grid order)
+    np.testing.assert_allclose(grid["thr.imp"], [0.3, 0.9])
