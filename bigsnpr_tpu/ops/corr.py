@@ -62,12 +62,17 @@ class SparseLD:
         s = self.sym()
         if ind_sub is not None:
             ind_sub = np.asarray(ind_sub)
-            s = s[np.ix_(ind_sub, ind_sub)]
+            if len(ind_sub) == s.shape[0] and np.array_equal(
+                    ind_sub, np.arange(s.shape[0])):
+                pass  # full range: no subsetting needed
+            else:
+                # row-then-col slicing (np.ix_ blows up on large sparse)
+                s = s[ind_sub][:, ind_sub]
         return np.asarray(s.power(2).sum(axis=0)).ravel()
 
     def subset(self, ind) -> "SparseLD":
         ind = np.asarray(ind)
-        u = self.sym()[np.ix_(ind, ind)]
+        u = self.sym()[ind][:, ind]
         return SparseLD(upper=sp.triu(u).tocsc(),
                         pos=None if self.pos is None else self.pos[ind])
 
