@@ -27,10 +27,28 @@ class DosagePack:
     code256: np.ndarray = None
     fam: Optional[pd.DataFrame] = None
     map: Optional[pd.DataFrame] = None
+    _device_pad_cache: object = None
 
     def __post_init__(self):
         if self.code256 is None:
             self.code256 = CODE_DOSAGE
+
+    def device_codes_padded(self, block: int, fill: int = 3):
+        """Byte codes with axis 0 padded (code 3 = NA) to a multiple of
+        `block`, device-resident and cached per block size — one upload
+        total across repeated kernel calls (see GenoPack analog)."""
+        import jax.numpy as jnp
+
+        if self._device_pad_cache is None:
+            object.__setattr__(self, "_device_pad_cache", {})
+        key = (block, fill)
+        if key not in self._device_pad_cache:
+            pad = (-self.m) % block
+            arr = jnp.asarray(np.asarray(self.codes))
+            if pad:
+                arr = jnp.pad(arr, ((0, pad), (0, 0)), constant_values=fill)
+            self._device_pad_cache[key] = arr
+        return self._device_pad_cache[key]
 
     @property
     def m(self) -> int:

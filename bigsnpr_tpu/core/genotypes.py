@@ -42,6 +42,7 @@ class GenoPack:
     fam: Optional[pd.DataFrame] = None
     map: Optional[pd.DataFrame] = None
     _device_cache: object = field(default=None, repr=False, compare=False)
+    _device_pad_cache: object = field(default=None, repr=False, compare=False)
 
     @property
     def m(self) -> int:
@@ -59,6 +60,29 @@ class GenoPack:
         if self._device_cache is None:
             object.__setattr__(self, "_device_cache", jnp.asarray(np.asarray(self.packed)))
         return self._device_cache
+
+    def device_packed_padded(self, block: int):
+        """Packed bytes with axis 0 zero-padded to a multiple of `block`,
+        device-resident and cached per block size.
+
+        One host->device upload total: padding happens on device from the
+        `device_packed()` copy, so repeated matvec/stat calls never re-ship
+        the (potentially multi-GB) packed matrix through the interconnect.
+        Pad rows decode to code 0b00; callers mask them out (pad of U with
+        zeros / slicing cprod output to :m), so the fill value is inert.
+        """
+        import jax.numpy as jnp
+
+        cache = self._device_pad_cache
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_device_pad_cache", cache)
+        if block not in cache:
+            pad = (-self.m) % block
+            base = self.device_packed()
+            cache[block] = (jnp.pad(base, ((0, pad), (0, 0)))
+                            if pad else base)
+        return cache[block]
 
     # -- dense views (host, for oracles/small data) --------------------------
     def to_dosage(self) -> np.ndarray:

@@ -100,28 +100,30 @@ def snp_randomSVD(
     # Krylov basis K = [Q, (AAᵀ)Q, (AAᵀ)²Q, ...] in the sample space and
     # Rayleigh-Ritz on it — superlinear convergence in the number of
     # matvec passes (the reference's Lanczos-class solver equivalent).
+    # Convergence is monitored through the small L×L Gram matrix
+    # G = MᵀM (M = X̃ᵀK, maintained incrementally): its eigenvalues are
+    # the squared Ritz values, so no O(L²·m) SVD is needed per depth —
+    # u/v are recovered once, after convergence, from eigh(G).
     l = min(k + oversample, min(n, m))
     rng = np.random.default_rng(seed)
     Q = _orth(rng.standard_normal((n, l)))
     basis = [Q]
-    Ms = [cprod_fn(Q)]                              # cprod blocks, width l
+    Ms = [np.asarray(cprod_fn(Q), dtype=np.float64)]  # cprod blocks
+    G = Ms[0].T @ Ms[0]                               # (L, L) Gram
     d_prev = np.zeros(k)
     niter = 0
     max_depth = max(2, min(max_iter, -(-min(n, m) // l)))
-    u = d = v = None
+    d = None
     for it in range(max_depth):
         niter = it + 1
-        K = np.concatenate(basis, axis=1)            # (n, L)
-        M = np.concatenate(Ms, axis=1)               # (m, L)
-        Ut, s, Vtt = np.linalg.svd(M.T, full_matrices=False)
-        d_now = s[:k]
+        L = G.shape[0]
+        evals = np.linalg.eigvalsh(G)                 # ascending
+        d_now = np.sqrt(np.maximum(evals[::-1][:k], 0.0))
         rel = np.max(np.abs(d_now - d_prev) / np.maximum(d_now, 1e-30))
         if verbose:
             print(f"  randomSVD depth {niter}: rel change {rel:.2e}")
-        u = K @ Ut[:, :k]
         d = d_now
-        v = Vtt[:k].T
-        if rel < tol or K.shape[1] >= min(n, m):
+        if rel < tol or L >= min(n, m):
             break
         d_prev = d_now
 
@@ -135,13 +137,27 @@ def snp_randomSVD(
         # never exceed the space dimension
         norms = np.linalg.norm(Y, axis=0)
         keep = norms > 1e-8 * max(np.max(d), 1.0)
-        room = min(n, m) - K.shape[1]
+        room = min(n, m) - L
         cols = np.nonzero(keep)[0][:room]
         if len(cols) == 0:
             break
         Q, _ = np.linalg.qr(Y[:, cols])
         basis.append(Q)
-        Ms.append(cprod_fn(Q))
+        B = np.asarray(cprod_fn(Q), dtype=np.float64)
+        # grow G by the new block: [[G, MᵀB], [BᵀM, BᵀB]]
+        C = np.concatenate([Mi.T @ B for Mi in Ms], axis=0)
+        G = np.block([[G, C], [C.T, B.T @ B]])
+        Ms.append(B)
+
+    # Rayleigh-Ritz extraction (once): SVD of Mᵀ via eigh of G = MᵀM.
+    evals, W = np.linalg.eigh(G)
+    order = np.argsort(evals)[::-1][:k]
+    d = np.sqrt(np.maximum(evals[order], 0.0))
+    W = W[:, order]
+    K = np.concatenate(basis, axis=1)
+    M = np.concatenate(Ms, axis=1)
+    u = K @ W
+    v = (M @ W) / np.maximum(d, 1e-300)
 
     # sign convention: largest-|loading| coordinate of each u positive
     signs = np.sign(u[np.argmax(np.abs(u), axis=0), np.arange(k)])

@@ -117,7 +117,10 @@ def _prep(pack, center, scale, block):
     block = block or pick_block(n)
     center = np.zeros(m) if center is None else np.asarray(center, dtype=np.float64)
     scale = np.ones(m) if scale is None else np.asarray(scale, dtype=np.float64)
-    packed, _ = pad_rows(np.asarray(pack.packed), block)
+    # device-resident padded bytes, uploaded once per (pack, block)
+    packed = (pack.device_packed_padded(block)
+              if hasattr(pack, "device_packed_padded")
+              else pad_rows(np.asarray(pack.packed), block)[0])
     c, _ = pad_rows(center.astype(np.float32), block, fill=0)
     s, _ = pad_rows(scale.astype(np.float32), block, fill=1)
     return packed, c, s, n, m, block
@@ -135,13 +138,13 @@ def snp_cprodVec(pack, v, center=None, scale=None, block=None):
     if _is_dosage(pack):
         m = pack.m
         block = block or pick_block(pack.n)
-        codes, _ = pad_rows(np.asarray(pack.codes), block, fill=3)
+        codes = pack.device_codes_padded(block)
         c = np.zeros(m) if center is None else np.asarray(center, np.float64)
         s = np.ones(m) if scale is None else np.asarray(scale, np.float64)
         cp, _ = pad_rows(c.astype(np.float32), block, fill=0)
         sp_, _ = pad_rows(s.astype(np.float32), block, fill=1)
         out = _cprod_bytes_blocked(
-            jnp.asarray(codes), jnp.asarray(pack.code256, dtype=jnp.float32),
+            codes, jnp.asarray(pack.code256, dtype=jnp.float32),
             V, jnp.asarray(cp), jnp.asarray(sp_), block,
             config.matmul_precision)
         out = out[:m]
@@ -165,14 +168,14 @@ def snp_prodVec(pack, u, center=None, scale=None, block=None):
     if _is_dosage(pack):
         m = pack.m
         block = block or pick_block(pack.n)
-        codes, _ = pad_rows(np.asarray(pack.codes), block, fill=3)
+        codes = pack.device_codes_padded(block)
         c = np.zeros(m) if center is None else np.asarray(center, np.float64)
         s = np.ones(m) if scale is None else np.asarray(scale, np.float64)
         cp, _ = pad_rows(c.astype(np.float32), block, fill=0)
         sp_, _ = pad_rows(s.astype(np.float32), block, fill=1)
         U_pad, _ = pad_rows(np.asarray(U), block, fill=0)
         out = _prod_bytes_blocked(
-            jnp.asarray(codes), jnp.asarray(pack.code256, dtype=jnp.float32),
+            codes, jnp.asarray(pack.code256, dtype=jnp.float32),
             jnp.asarray(U_pad), jnp.asarray(cp), jnp.asarray(sp_), block,
             config.matmul_precision)
         return out[:, 0] if squeeze else out
