@@ -64,27 +64,54 @@ def snp_randomSVD(
     engine: "auto" uses the fused Pallas operator on TPU for 2-bit packs,
     the XLA blocked path otherwise.
     """
+    import jax
+
     full = ind_col is None and ind_row is None
-    sub = pack if full else pack.subset(ind_row=ind_row, ind_col=ind_col)
-    sc = fun_scaling(sub) if callable(fun_scaling) else fun_scaling
-    center, scale = np.asarray(sc["center"]), np.asarray(sc["scale"])
-    n, m = sub.n, sub.m
+    has_pack = hasattr(pack, "packed") and hasattr(pack, "device_packed_padded")
+    on_tpu = jax.default_backend() == "tpu"
+    want_mesh = engine == "mesh" or (engine == "auto" and on_tpu
+                                     and len(jax.devices()) > 1)
+    op = sub = None
 
-    op = None
-    if engine != "xla" and hasattr(sub, "packed"):
-        import jax
+    if has_pack and not want_mesh:
+        # Masked-subset path: the packed bytes stay whole (and cached) on
+        # device; ind_row/ind_col become on-device scatter/gather inside
+        # the operator — no host repack per autoSVD iteration. Scaling is
+        # computed over all variants on the row subset, gathered at
+        # ind_col (identical values to scaling the physical subset).
+        try:
+            sc = (fun_scaling(pack, ind_row=ind_row)
+                  if callable(fun_scaling) else fun_scaling)
+            c_f = np.asarray(sc["center"], dtype=np.float64)
+            s_f = np.asarray(sc["scale"], dtype=np.float64)
+            if len(c_f) != pack.m:
+                raise ValueError("scaling length mismatch")
+        except (TypeError, ValueError):
+            sc = None
+        if sc is not None:
+            center = c_f if ind_col is None else c_f[np.asarray(ind_col)]
+            scale = s_f if ind_col is None else s_f[np.asarray(ind_col)]
+            if engine == "pallas" or (engine == "auto" and on_tpu):
+                from bigsnpr_tpu.ops.pallas_kernels import PallasOperator
 
-        on_tpu = jax.default_backend() == "tpu"
-        if engine == "mesh" or (engine == "auto" and on_tpu
-                                and len(jax.devices()) > 1):
+                op = PallasOperator(pack, c_f, s_f,
+                                    ind_row=ind_row, ind_col=ind_col)
+            else:
+                from bigsnpr_tpu.ops.matvec import XlaOperator
+
+                op = XlaOperator(pack, c_f, s_f,
+                                 ind_row=ind_row, ind_col=ind_col)
+            n, m = op.n, op.m
+
+    if op is None:
+        sub = pack if full else pack.subset(ind_row=ind_row, ind_col=ind_col)
+        sc = fun_scaling(sub) if callable(fun_scaling) else fun_scaling
+        center, scale = np.asarray(sc["center"]), np.asarray(sc["scale"])
+        n, m = sub.n, sub.m
+        if want_mesh and hasattr(sub, "packed"):
             from bigsnpr_tpu.parallel.mesh import MeshOperator
 
             op = MeshOperator(sub, center, np.where(scale > 0, scale, 1.0))
-        elif engine == "pallas" or (engine == "auto" and on_tpu):
-            from bigsnpr_tpu.ops.pallas_kernels import PallasOperator
-
-            op = PallasOperator(sub, center,
-                                np.where(scale > 0, scale, 1.0))
 
     def cprod_fn(V):
         if op is not None:
@@ -95,6 +122,13 @@ def snp_randomSVD(
         if op is not None:
             return op.prod(U)
         return np.asarray(snp_prodVec(sub, U, center, scale))
+
+    def power_fn(Q):
+        """(X̃ᵀQ, X̃X̃ᵀQ) — fused into one device program when available."""
+        if op is not None and hasattr(op, "power"):
+            return op.power(Q)
+        B = cprod_fn(Q)
+        return B, prod_fn(B)
 
     # Adaptive randomized block-Krylov (Musco & Musco 2015): grow the
     # Krylov basis K = [Q, (AAᵀ)Q, (AAᵀ)²Q, ...] in the sample space and
@@ -108,8 +142,9 @@ def snp_randomSVD(
     rng = np.random.default_rng(seed)
     Q = _orth(rng.standard_normal((n, l)))
     basis = [Q]
-    Ms = [np.asarray(cprod_fn(Q), dtype=np.float64)]  # cprod blocks
-    G = Ms[0].T @ Ms[0]                               # (L, L) Gram
+    B, Y = power_fn(Q)                               # fused X̃ᵀQ, X̃X̃ᵀQ
+    Ms = [np.asarray(B, dtype=np.float64)]           # cprod blocks
+    G = Ms[0].T @ Ms[0]                              # (L, L) Gram
     d_prev = np.zeros(k)
     niter = 0
     max_depth = max(2, min(max_iter, -(-min(n, m) // l)))
@@ -127,7 +162,7 @@ def snp_randomSVD(
             break
         d_prev = d_now
 
-        Y = prod_fn(Ms[-1])                          # A Aᵀ Q_last, (n, l)
+        # Y = A Aᵀ Q_last (from the fused power step), (n, l)
         # orthogonalize against the existing basis (twice, for stability)
         for _ in range(2):
             for Bq in basis:
@@ -143,7 +178,8 @@ def snp_randomSVD(
             break
         Q, _ = np.linalg.qr(Y[:, cols])
         basis.append(Q)
-        B = np.asarray(cprod_fn(Q), dtype=np.float64)
+        B, Y = power_fn(Q)
+        B = np.asarray(B, dtype=np.float64)
         # grow G by the new block: [[G, MᵀB], [BᵀM, BᵀB]]
         C = np.concatenate([Mi.T @ B for Mi in Ms], axis=0)
         G = np.block([[G, C], [C.T, B.T @ B]])

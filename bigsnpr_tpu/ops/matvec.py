@@ -107,6 +107,89 @@ def _prod_bytes_blocked(codes, table, U, center, scale, block, precision):
     return acc
 
 
+@partial(jax.jit, static_argnames=("n", "block", "precision"))
+def _xla_cprod_sub(packed, c, s, V, row_idx, col_idx, n, block, precision):
+    Vf = jnp.zeros((n, V.shape[1]), jnp.float32).at[row_idx].set(V)
+    out = _cprod_blocked(packed, Vf, c, s, n, block, precision)
+    return out[col_idx]
+
+
+@partial(jax.jit, static_argnames=("n", "block", "precision"))
+def _xla_prod_sub(packed, c, s, U, row_idx, col_idx, n, block, precision):
+    m_pad = packed.shape[0]
+    Uf = jnp.zeros((m_pad, U.shape[1]), jnp.float32).at[col_idx].set(U)
+    out = _prod_blocked(packed, Uf, c, s, n, block, precision)
+    return out[row_idx]
+
+
+@partial(jax.jit, static_argnames=("n", "block", "precision"))
+def _xla_power_sub(packed, c, s, V, row_idx, col_idx, n, block, precision):
+    Vf = jnp.zeros((n, V.shape[1]), jnp.float32).at[row_idx].set(V)
+    B = _cprod_blocked(packed, Vf, c, s, n, block, precision)  # (m_pad, l)
+    Bm = jnp.zeros_like(B).at[col_idx].set(B[col_idx])
+    Y = _prod_blocked(packed, Bm, c, s, n, block, precision)
+    return B[col_idx], Y[row_idx]
+
+
+class XlaOperator:
+    """Device-resident standardized genotype operator on the XLA blocked
+    decode->GEMM path — same surface as PallasOperator {cprod, prod,
+    power} with optional ind_row/ind_col masking done by on-device
+    scatter/gather (no host repacking between iterative calls).
+
+    Works on any backend (CPU/TPU); the Pallas twin is TPU-only.
+    """
+
+    def __init__(self, pack, center, scale, ind_row=None, ind_col=None,
+                 block=None):
+        n_full = pack.n
+        m_full = pack.m
+        self.block = block or pick_block(n_full)
+        self.packed = pack.device_packed_padded(self.block)
+        m_pad = self.packed.shape[0]
+        center = np.asarray(center, dtype=np.float64)
+        scale = np.asarray(scale, dtype=np.float64)
+        good = scale > 0
+        c = np.zeros(m_pad, dtype=np.float32)
+        s = np.ones(m_pad, dtype=np.float32)
+        c[:m_full] = np.where(good, center, 0.0)
+        s[:m_full] = np.where(good, scale, 1.0)
+        self.c, self.s = jnp.asarray(c), jnp.asarray(s)
+        self.n_full = n_full
+        rows = np.arange(n_full) if ind_row is None else np.asarray(ind_row)
+        cols = np.arange(m_full) if ind_col is None else np.asarray(ind_col)
+        self.n, self.m = len(rows), len(cols)
+        self.row_idx = jnp.asarray(rows, dtype=jnp.int32)
+        self.col_idx = jnp.asarray(cols, dtype=jnp.int32)
+
+    @staticmethod
+    def _as_2d(arr):
+        arr = jnp.asarray(arr, dtype=jnp.float32)
+        squeeze = arr.ndim == 1
+        return (arr[:, None] if squeeze else arr), squeeze
+
+    def cprod(self, V):
+        V, squeeze = self._as_2d(V)
+        out = np.asarray(_xla_cprod_sub(
+            self.packed, self.c, self.s, V, self.row_idx, self.col_idx,
+            self.n_full, self.block, config.matmul_precision))
+        return out[:, 0] if squeeze else out
+
+    def prod(self, U):
+        U, squeeze = self._as_2d(U)
+        out = np.asarray(_xla_prod_sub(
+            self.packed, self.c, self.s, U, self.row_idx, self.col_idx,
+            self.n_full, self.block, config.matmul_precision))
+        return out[:, 0] if squeeze else out
+
+    def power(self, V):
+        V, _ = self._as_2d(V)
+        B, Y = _xla_power_sub(
+            self.packed, self.c, self.s, V, self.row_idx, self.col_idx,
+            self.n_full, self.block, config.matmul_precision)
+        return np.asarray(B), np.asarray(Y)
+
+
 def _is_dosage(pack):
     return hasattr(pack, "code256")
 

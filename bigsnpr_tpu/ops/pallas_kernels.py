@@ -129,18 +129,56 @@ def pallas_prod(packed, Zt, cs, interpret=False):
     )(packed, Zt, cs)
 
 
+@partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret"))
+def _cprod_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret):
+    """Scatter V (n_sub, l) into kernel sample order, run cprod, gather
+    the ind_col rows on device -> (m_sub, l). One device round-trip."""
+    l = V.shape[1]
+    Qk = jnp.zeros((n_pad, l_pad), jnp.float32).at[row_pos, :l].set(V)
+    out = pallas_cprod(packed, Qk.T, cs, interpret=interpret)
+    return out[:l][:, col_idx].T
+
+
+@partial(jax.jit, static_argnames=("l_pad", "interpret"))
+def _prod_sub(packed, cs, U, row_pos, col_idx, l_pad, interpret):
+    """Scatter U (m_sub, l) into full variant space, run prod, gather
+    the ind_row samples on device -> (n_sub, l)."""
+    l = U.shape[1]
+    m_pad = packed.shape[0]
+    Zk = jnp.zeros((m_pad, l_pad), jnp.float32).at[col_idx, :l].set(U)
+    out = pallas_prod(packed, Zk.T, cs, interpret=interpret)
+    return out[:l].T[row_pos]
+
+
+@partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret"))
+def _power_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret):
+    """Fused power step: one device program computing B = X̃ᵀV (gathered
+    to ind_col) and Y = X̃·mask(B) (gathered to ind_row); the wide
+    intermediate never crosses the host link."""
+    l = V.shape[1]
+    Qk = jnp.zeros((n_pad, l_pad), jnp.float32).at[row_pos, :l].set(V)
+    B = pallas_cprod(packed, Qk.T, cs, interpret=interpret)   # (l_pad, m_pad)
+    m_pad = packed.shape[0]
+    Bm = jnp.zeros((m_pad, l_pad), jnp.float32).at[col_idx].set(B.T[col_idx])
+    Y = pallas_prod(packed, Bm.T, cs, interpret=interpret)    # (l_pad, n_pad)
+    return B[:l][:, col_idx].T, Y[:l].T[row_pos]
+
+
 class PallasOperator:
     """Device-resident standardized genotype operator with fused kernels.
 
-    Handles padding (variants to TM with scale-0 -> zero contribution;
-    samples to TN with NA bytes) and the bit-plane sample permutation.
+    Handles padding (variants to TM, samples to TN with NA bytes) and the
+    bit-plane sample permutation. Optional ind_row/ind_col make the
+    operator act as the physically subsetted matrix would, while the
+    packed bytes stay whole (and cached) on device: inputs are scattered
+    and outputs gathered on device, so iterative drivers (autoSVD's
+    outlier loop) never repack or re-upload genotypes per iteration.
     """
 
-    def __init__(self, pack, center, scale, interpret: bool | None = None):
-        packed = np.asarray(pack.packed)
-        m, nb = packed.shape
+    def __init__(self, pack, center, scale, interpret: bool | None = None,
+                 ind_row=None, ind_col=None):
+        m, nb = pack.packed.shape
         n = pack.n
-        self.m, self.n = m, n
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
@@ -148,15 +186,18 @@ class PallasOperator:
         m_pad = -(-m // TM) * TM
         nb_pad = -(-nb // TNB) * TNB
         self.n_pad = nb_pad * 4
-        buf = np.full((m_pad, nb_pad), 0b01010101, dtype=np.uint8)  # NA pad
-        buf[:m, :nb] = packed
+        base = (pack.device_packed() if hasattr(pack, "device_packed")
+                else jnp.asarray(np.asarray(pack.packed)))
+        buf = jnp.pad(base, ((0, m_pad - m), (0, nb_pad - nb)),
+                      constant_values=0b01010101)  # NA pad
         # partial last byte: force pad bits to NA
         rem = n % 4
         if rem:
             keep = (1 << (2 * rem)) - 1
             na_fill = sum(0b01 << (2 * k) for k in range(rem, 4))
-            buf[:m, nb - 1] = (buf[:m, nb - 1] & keep) | na_fill
-        self.packed = jnp.asarray(buf)
+            buf = buf.at[:m, nb - 1].set(
+                (buf[:m, nb - 1] & keep) | np.uint8(na_fill))
+        self.packed = buf
 
         center = np.asarray(center, dtype=np.float64)
         scale = np.asarray(scale, dtype=np.float64)
@@ -173,41 +214,40 @@ class PallasOperator:
 
         self.perm = sample_perm(self.n_pad)
         self.inv_perm = np.argsort(self.perm)
+        rows = np.arange(n) if ind_row is None else np.asarray(ind_row)
+        cols = np.arange(m) if ind_col is None else np.asarray(ind_col)
+        self.n, self.m = len(rows), len(cols)
+        self.row_pos = jnp.asarray(self.inv_perm[rows], dtype=jnp.int32)
+        self.col_idx = jnp.asarray(cols, dtype=jnp.int32)
 
-    def _pad_l(self, arr, axis):
-        l = arr.shape[axis]
-        pad = (-l) % 8
-        if pad:
-            widths = [(0, 0)] * arr.ndim
-            widths[axis] = (0, pad)
-            arr = np.pad(arr, widths)
-        return arr, l
+    @staticmethod
+    def _as_2d(arr):
+        arr = jnp.asarray(arr, dtype=jnp.float32)
+        squeeze = arr.ndim == 1
+        return (arr[:, None] if squeeze else arr), squeeze
 
     def cprod(self, V):
         """X̃ᵀ V: V (n, l) -> (m, l)."""
-        V = np.asarray(V, dtype=np.float32)
-        squeeze = V.ndim == 1
-        if squeeze:
-            V = V[:, None]
-        Vp = np.zeros((self.n_pad, V.shape[1]), dtype=np.float32)
-        Vp[:self.n] = V
-        Vp = Vp[self.perm]
-        Qp, l = self._pad_l(Vp.T, 0)
-        out = pallas_cprod(self.packed, jnp.asarray(Qp), self.cs,
-                           interpret=self.interpret)
-        res = np.asarray(out)[:l, :self.m].T
-        return res[:, 0] if squeeze else res
+        V, squeeze = self._as_2d(V)
+        l_pad = V.shape[1] + (-V.shape[1]) % 8
+        out = np.asarray(_cprod_sub(self.packed, self.cs, V, self.row_pos,
+                                    self.col_idx, self.n_pad, l_pad,
+                                    self.interpret))
+        return out[:, 0] if squeeze else out
 
     def prod(self, U):
         """X̃ U: U (m, l) -> (n, l)."""
-        U = np.asarray(U, dtype=np.float32)
-        squeeze = U.ndim == 1
-        if squeeze:
-            U = U[:, None]
-        Up = np.zeros((self.packed.shape[0], U.shape[1]), dtype=np.float32)
-        Up[:self.m] = U
-        Zt, l = self._pad_l(Up.T, 0)
-        out = pallas_prod(self.packed, jnp.asarray(Zt), self.cs,
-                          interpret=self.interpret)
-        res = np.asarray(out)[:l].T[self.inv_perm][:self.n]
-        return res[:, 0] if squeeze else res
+        U, squeeze = self._as_2d(U)
+        l_pad = U.shape[1] + (-U.shape[1]) % 8
+        out = np.asarray(_prod_sub(self.packed, self.cs, U, self.row_pos,
+                                   self.col_idx, l_pad, self.interpret))
+        return out[:, 0] if squeeze else out
+
+    def power(self, V):
+        """One fused Krylov step: returns (X̃ᵀV, X̃X̃ᵀV) with a single
+        host round-trip."""
+        V, _ = self._as_2d(V)
+        l_pad = V.shape[1] + (-V.shape[1]) % 8
+        B, Y = _power_sub(self.packed, self.cs, V, self.row_pos,
+                          self.col_idx, self.n_pad, l_pad, self.interpret)
+        return np.asarray(B), np.asarray(Y)

@@ -50,3 +50,71 @@ def test_pallas_monomorphic_and_na():
                             np.where(sc["scale"] > 0, sc["scale"], 1))
     Xt[:, 7] = 0
     np.testing.assert_allclose(out, Xt.T @ np.ones(100), rtol=1e-4, atol=1e-4)
+
+@pytest.mark.parametrize("cls", ["pallas", "xla"])
+def test_masked_operator_equals_physical_subset(cls):
+    """ind_row/ind_col masking on the full device-resident pack must act
+    exactly as the physically subsetted matrix (no-repack autoSVD path)."""
+    from bigsnpr_tpu.ops.matvec import XlaOperator
+
+    n, m = 223, 140
+    pack = snp_fake(n, m, seed=7, na_prob=0.05)
+    rng = np.random.default_rng(3)
+    ind_row = np.sort(rng.choice(n, size=150, replace=False))
+    ind_col = np.sort(rng.choice(m, size=90, replace=False))
+
+    sub = pack.subset(ind_row=ind_row, ind_col=ind_col)
+    sc_sub = bed_scaleBinom(sub)
+    scale_sub = np.where(sc_sub["scale"] > 0, sc_sub["scale"], 1.0)
+    Xt = dense_standardized(sub, sc_sub["center"], scale_sub)
+
+    sc_full = bed_scaleBinom(pack, ind_row=ind_row)
+    if cls == "pallas":
+        op = PallasOperator(pack, sc_full["center"], sc_full["scale"],
+                            interpret=True, ind_row=ind_row, ind_col=ind_col)
+    else:
+        op = XlaOperator(pack, sc_full["center"], sc_full["scale"],
+                         ind_row=ind_row, ind_col=ind_col)
+    assert (op.n, op.m) == (150, 90)
+
+    V = rng.standard_normal((150, 4))
+    np.testing.assert_allclose(op.cprod(V), Xt.T @ V, rtol=2e-4, atol=2e-4)
+    U = rng.standard_normal((90, 4))
+    np.testing.assert_allclose(op.prod(U), Xt @ U, rtol=2e-4, atol=2e-4)
+    B, Y = op.power(V)
+    np.testing.assert_allclose(B, Xt.T @ V, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(Y, Xt @ (Xt.T @ V), rtol=2e-4, atol=3e-3)
+
+
+def test_power_fuses_cprod_prod():
+    pack = snp_fake(101, 64, seed=11, na_prob=0.04)
+    sc = bed_scaleBinom(pack)
+    scale = np.where(sc["scale"] > 0, sc["scale"], 1.0)
+    op = PallasOperator(pack, sc["center"], scale, interpret=True)
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((101, 6))
+    B, Y = op.power(V)
+    np.testing.assert_allclose(B, op.cprod(V), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(Y, op.prod(op.cprod(V)), rtol=1e-4, atol=1e-4)
+
+
+def test_randomsvd_masked_subset_parity():
+    """snp_randomSVD(ind_row, ind_col) via the masked device path equals
+    the SVD of the physical subset."""
+    from bigsnpr_tpu.linalg.randomsvd import snp_randomSVD
+
+    pack = snp_fake(180, 120, seed=23, na_prob=0.03)
+    rng = np.random.default_rng(9)
+    ind_row = np.sort(rng.choice(180, size=120, replace=False))
+    ind_col = np.sort(rng.choice(120, size=80, replace=False))
+
+    svd = snp_randomSVD(pack, k=5, tol=1e-7, ind_row=ind_row,
+                        ind_col=ind_col, engine="xla")
+    sub = pack.subset(ind_row=ind_row, ind_col=ind_col)
+    sc = bed_scaleBinom(sub)
+    Xt = dense_standardized(sub, sc["center"],
+                            np.where(sc["scale"] > 0, sc["scale"], 1.0))
+    u, s, vt = np.linalg.svd(Xt, full_matrices=False)
+    np.testing.assert_allclose(svd.d, s[:5], rtol=1e-4)
+    cos = np.abs(np.sum(svd.u * u[:, :5], axis=0))
+    np.testing.assert_allclose(cos, 1.0, atol=1e-3)
