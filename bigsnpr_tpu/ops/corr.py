@@ -212,6 +212,32 @@ def _pair_r_device_block(packed_t, packed_b, t0, b0, left_start_t, THR,
     return jnp.where(keep, jnp.clip(r, -1.0, 1.0), 0.0)
 
 
+@partial(jax.jit, static_argnames=("n", "cap", "precision"))
+def _pair_r_compact_block(packed_t, packed_b, t0, b0, left_start_t, THR,
+                          thr_floor, n, cap, precision):
+    """Device-compacted kept-r block: (count, lin_idx (cap,), r (cap,)).
+
+    Two-level reduction of host traffic vs the dense kept-r plane: the
+    keep mask is turned into a cumsum-scatter compaction ON DEVICE, so
+    only ~nnz values + linear indices cross the host link (~40x less for
+    typical LD sparsity). lin_idx = ii*Wb + kk into the (B, Wb) block;
+    slots beyond count are -1. If count > cap the caller must retry with
+    a larger cap (values past cap were dropped)."""
+    r_kept = _pair_r_device_block(packed_t, packed_b, t0, b0, left_start_t,
+                                  THR, thr_floor, n, precision)
+    flat = r_kept.ravel()
+    keepf = flat != 0.0                     # kept NaNs compare != 0 too
+    pos_k = jnp.cumsum(keepf) - 1
+    scatter_idx = jnp.where(keepf, pos_k, cap).astype(jnp.int32)
+    vals = jnp.zeros(cap, jnp.float32).at[scatter_idx].set(flat, mode="drop")
+    lin = jax.lax.iota(jnp.int32, flat.shape[0])
+    idxs = jnp.full(cap, -1, jnp.int32).at[scatter_idx].set(lin, mode="drop")
+    count = keepf.sum().astype(jnp.int32)
+    # single (1+2cap,) int32 bundle -> exactly one host transfer per block
+    return jnp.concatenate([count[None], idxs,
+                            jax.lax.bitcast_convert_type(vals, jnp.int32)])
+
+
 @partial(jax.jit, static_argnames=("precision",))
 def _pair_sums_block_bytes(codes_t, codes_b, table, precision):
     """Dosage-pack variant of _pair_sums_block: byte codes + 256-table.
@@ -356,24 +382,40 @@ def snp_cor(
 
     cols_i, cols_j, cols_x = [], [], []
     if finalize == "device":
-        import bigsnpr_tpu.config as config
-
-        dev_packed = jnp.asarray(_na_pad_tail(np.asarray(sub.packed), n))
+        packed_h = _na_pad_tail(np.asarray(sub.packed), n)
+        # HBM-resident when it fits comfortably; otherwise stream the
+        # target+band byte rows per block (bands overlap, so streamed
+        # upload is < 2x the matrix — the at-scale path).
+        resident = packed_h.nbytes <= 4 * 2**30
+        dev_packed = jnp.asarray(packed_h) if resident else None
         THR_d = jnp.asarray(np.nan_to_num(THR, nan=np.inf), dtype=jnp.float32)
+        cap = 1 << 14
         for t0 in range(0, m, block):
             t1 = min(t0 + block, m)
             b0 = int(left_start[t0:t1].min())
-            r_kept = np.asarray(_pair_r_device_block(
-                dev_packed[t0:t1], dev_packed[b0:t1],
-                jnp.int32(t0), jnp.int32(b0),
-                jnp.asarray(left_start[t0:t1], dtype=jnp.int32),
-                THR_d, jnp.float32(thr_floor), n,
-                config.matmul_precision))
-            ii, kk = np.nonzero(r_kept)  # NaN != 0, so kept-NaNs included
-            if ii.size:
+            Wb = t1 - b0
+            if resident:
+                pt, pb = dev_packed[t0:t1], dev_packed[b0:t1]
+            else:
+                pb = jnp.asarray(packed_h[b0:t1])
+                pt = pb[t0 - b0:]
+            ls_d = jnp.asarray(left_start[t0:t1], dtype=jnp.int32)
+            while True:
+                buf = np.asarray(_pair_r_compact_block(
+                    pt, pb, jnp.int32(t0), jnp.int32(b0), ls_d,
+                    THR_d, jnp.float32(thr_floor), n, cap,
+                    config.matmul_precision))
+                cnt = int(buf[0])
+                if cnt <= cap:
+                    break
+                cap = 1 << (cnt - 1).bit_length()   # grow (monotone) & retry
+            if cnt:
+                idxs = buf[1:1 + cnt]
+                vals = buf[1 + cap:1 + cap + cnt].view(np.float32)
+                ii, kk = np.divmod(idxs, Wb)
                 cols_j.append(t0 + ii)
                 cols_i.append(b0 + kk)
-                cols_x.append(r_kept[ii, kk].astype(np.float64))
+                cols_x.append(vals.astype(np.float64))
     else:
         for t0, t1, b0, sums in _iter_band_blocks(data, n, m, left_start,
                                                   block, code256=code256):

@@ -167,3 +167,20 @@ def test_ld_scores_match_cor_subsets():
         ld = snp_ld_scores(pack, ind_row=ind_row, ind_col=ind_col, size=size)
         assert len(ld) == 40
         np.testing.assert_allclose(ld, corr.col_sums_sq(), rtol=1e-9)
+
+
+def test_device_compaction_cap_regrow():
+    """Dense-LD case whose kept count exceeds the initial device
+    compaction cap (2^14): the grow-and-retry path must return exactly
+    the host-finalized matrix."""
+    pack = snp_fake(150, 260, seed=77, na_prob=0.02)
+    host = snp_cor(pack, size=260, alpha=1.0, fill_diag=False,
+                   finalize="host")
+    dev = snp_cor(pack, size=260, alpha=1.0, fill_diag=False,
+                  finalize="device")
+    h = host.upper.tocoo()
+    d = dev.upper.tocoo()
+    assert d.nnz == h.nnz and d.nnz > (1 << 14)
+    hd = {(i, j): v for i, j, v in zip(h.row, h.col, h.data)}
+    for i, j, v in zip(d.row, d.col, d.data):
+        assert abs(hd[(i, j)] - v) < 5e-7
