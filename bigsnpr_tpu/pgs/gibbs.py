@@ -91,8 +91,8 @@ def gibbs_one(band_sub, ind_sub, beta_hat, n_vec, h2, p, sparse, key,
 
         def run(_):
             ku, kz = jax.random.split(jax.random.fold_in(key, k))
-            u = jax.random.uniform(ku, (m,))
-            z = jax.random.normal(kz, (m,))
+            u = jax.random.uniform(ku, (m,), dtype=band_sub.dtype)
+            z = jax.random.normal(kz, (m,), dtype=band_sub.dtype)
             dp2, nb, aux = _sweep_gibbs(
                 dp_pad, curr_beta, band_sub, ind_sub, beta_hat,
                 C2, C4, sqrt1pC1, inv_odd_p, p, sparse, 1.0,
@@ -134,8 +134,8 @@ def gibbs_one_sampling(band_sub, ind_sub, beta_hat, n_vec, h2, p, sparse,
 
         def run(_):
             ku, kz = jax.random.split(jax.random.fold_in(key, k))
-            u = jax.random.uniform(ku, (m,))
-            z = jax.random.normal(kz, (m,))
+            u = jax.random.uniform(ku, (m,), dtype=band_sub.dtype)
+            z = jax.random.normal(kz, (m,), dtype=band_sub.dtype)
             dp2, nb, aux = _sweep_gibbs(
                 dp_pad, curr_beta, band_sub, ind_sub, beta_hat,
                 C2, C4, sqrt1pC1, inv_odd_p, p, sparse, 1.0,
@@ -232,8 +232,8 @@ def gibbs_auto(band_sub, ind_sub, beta_hat, n_vec, log_var, p_init, h2_init,
             sqrt1pC1 = jnp.sqrt(1 + C1)
 
             ku, kz, kp, kb = jax.random.split(jax.random.fold_in(key, k), 4)
-            u = jax.random.uniform(ku, (m,))
-            z = jax.random.normal(kz, (m,))
+            u = jax.random.uniform(ku, (m,), dtype=band_sub.dtype)
+            z = jax.random.normal(kz, (m,), dtype=band_sub.dtype)
             dp2, nb, aux = _sweep_gibbs(
                 dp_pad, curr_beta, band_sub, ind_sub, beta_hat,
                 C2, C4, sqrt1pC1, inv_odd_p, p, False, shrink_corr,
@@ -248,7 +248,8 @@ def gibbs_auto(band_sub, ind_sub, beta_hat, n_vec, log_var, p_init, h2_init,
 
             nb_causal = jnp.sum(causal)
             p2 = jax.random.beta(kp, 1 + nb_causal / mean_ld,
-                                 1 + (m - nb_causal) / mean_ld)
+                                 1 + (m - nb_causal) / mean_ld,
+                                 dtype=band_sub.dtype)
             p2 = jnp.clip(p2, p_bounds[0], p_bounds[1])
             h2_est2 = cur_h2_est + h2_inc
             h2 = jnp.maximum(h2_est2, MIN_H2)

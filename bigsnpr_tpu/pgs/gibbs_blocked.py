@@ -134,8 +134,10 @@ def gibbs_one_blocked(bands, slot, beta_hat, n_vec, h2, p, sparse, key,
 
         def run(_):
             ku, kz = jax.random.split(jax.random.fold_in(key, k))
-            u = _scatter(jax.random.uniform(ku, (m,)), slot, B, mb, fill=2.0)
-            z = _scatter(jax.random.normal(kz, (m,)), slot, B, mb)
+            u = _scatter(jax.random.uniform(ku, (m,), dtype=bands.dtype),
+                         slot, B, mb, fill=2.0)
+            z = _scatter(jax.random.normal(kz, (m,), dtype=bands.dtype),
+                         slot, B, mb)
             dp2, nb, aux = _sweep_blocked(
                 dp_pads, curr_beta, bands, bh, C2, C4, s1,
                 inv_odd_p, p, sparse, 1.0, False, u, z, W)
@@ -192,8 +194,10 @@ def gibbs_auto_blocked(bands, slot, beta_hat, n_vec, log_var, p_init, h2_init,
             s1 = jnp.sqrt(1 + C1)
 
             ku, kz, kp, kb = jax.random.split(jax.random.fold_in(key, k), 4)
-            u = _scatter(jax.random.uniform(ku, (m,)), slot, B, mb, fill=2.0)
-            z = _scatter(jax.random.normal(kz, (m,)), slot, B, mb)
+            u = _scatter(jax.random.uniform(ku, (m,), dtype=bands.dtype),
+                         slot, B, mb, fill=2.0)
+            z = _scatter(jax.random.normal(kz, (m,), dtype=bands.dtype),
+                         slot, B, mb)
             dp2, nb, aux = _sweep_blocked(
                 dp_pads, curr_beta, bands, bh, C2, C4, s1,
                 inv_odd_p, p, False, shrink_corr, no_jump_sign, u, z, W)
@@ -208,7 +212,8 @@ def gibbs_auto_blocked(bands, slot, beta_hat, n_vec, log_var, p_init, h2_init,
 
             nb_causal = jnp.sum(causal)
             p2 = jax.random.beta(kp, 1 + nb_causal / mean_ld,
-                                 1 + (m - nb_causal) / mean_ld)
+                                 1 + (m - nb_causal) / mean_ld,
+                                 dtype=bands.dtype)
             p2 = jnp.clip(p2, p_bounds[0], p_bounds[1])
             h2_est2 = cur_h2_est + jnp.sum(h2_inc)
             h2 = jnp.maximum(h2_est2, MIN_H2)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from bigsnpr_tpu.ops.corr import SparseLD
 from bigsnpr_tpu.pgs.gibbs import lassosum_cd
-from bigsnpr_tpu.pgs.ldpred2 import _df_beta_arrays, _prep_sampler
+from bigsnpr_tpu.pgs.ldpred2 import _df_beta_arrays, _prep_sampler, _x64_ctx
 
 
 def seq_log(a, b, n):
@@ -26,17 +26,31 @@ def seq_log(a, b, n):
 def snp_lassosum2(corr: SparseLD, df_beta, delta=(0.001, 0.01, 0.1, 1),
                   nlambda: int = 30, lambda_min_ratio: float = 0.01,
                   dfmax: float = 200e3, maxiter: int = 1000,
-                  tol: float = 1e-5, ind_corr=None, blocks=None):
+                  tol: float = 1e-5, ind_corr=None, blocks=None,
+                  dtype="float32"):
     """Returns (beta_grid (m, n_grid), grid_param DataFrame with
-    lambda/delta/num_iter/sparsity)."""
+    lambda/delta/num_iter/sparsity). dtype: "float32" or "float64"
+    (scoped jax x64, the reference's double accumulation)."""
     beta_hat, N, scale = _df_beta_arrays(df_beta)
+    dt, ctx = _x64_ctx(dtype)
+    with ctx:
+        return _lassosum2_impl(corr, beta_hat, N, scale, delta, nlambda,
+                               lambda_min_ratio, dfmax, maxiter, tol,
+                               ind_corr, blocks, dt)
+
+
+def _lassosum2_impl(corr, beta_hat, N, scale, delta, nlambda,
+                    lambda_min_ratio, dfmax, maxiter, tol, ind_corr,
+                    blocks, dt):
     if blocks is None:
-        band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(corr, beta_hat, N, ind_corr)
+        band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(
+            corr, beta_hat, N, ind_corr, dtype=dt)
     else:
         from bigsnpr_tpu.pgs import gibbs_blocked as gb
 
         blocks_arr = np.asarray(blocks, dtype=np.int64)
-        bands, Wb = gb.build_block_bands(corr, blocks_arr, ind_corr=ind_corr)
+        bands, Wb = gb.build_block_bands(corr, blocks_arr, ind_corr=ind_corr,
+                                         dtype=dt)
         slot, _, _ = gb.block_layout(blocks_arr)
         B, mb = bands.shape[0], bands.shape[1]
 
@@ -49,28 +63,28 @@ def snp_lassosum2(corr: SparseLD, df_beta, delta=(0.001, 0.01, 0.1, 1),
     lam_grid = lam_grid.ravel()
     del_grid = del_grid.ravel()
 
-    pf_j = jnp.asarray(pf, dtype=jnp.float32)
+    pf_j = jnp.asarray(pf, dtype=dt)
     if blocks is None:
         run = jax.vmap(
             lambda lam, dlt: lassosum_cd(
                 band_sub, ind_sub, bh,
                 pf_j * lam, pf_j * dlt + 1.0,
-                jnp.float32(dfmax), jnp.float32(tol),
+                jnp.asarray(dfmax, dt), jnp.asarray(tol, dt),
                 maxiter=maxiter, W=W, m2=m2),
             in_axes=(0, 0))
     else:
         from bigsnpr_tpu.pgs.gibbs_blocked import lassosum_cd_blocked
 
-        bhj = jnp.asarray(beta_hat, jnp.float32)
+        bhj = jnp.asarray(beta_hat, dt)
         run = jax.vmap(
             lambda lam, dlt: lassosum_cd_blocked(
                 jnp.asarray(bands), jnp.asarray(slot), bhj,
                 pf_j * lam, pf_j * dlt + 1.0,
-                jnp.float32(dfmax), jnp.float32(tol),
+                jnp.asarray(dfmax, dt), jnp.asarray(tol, dt),
                 maxiter=maxiter, W=Wb, m=len(beta_hat), B=B, mb=mb),
             in_axes=(0, 0))
-    betas, iters = run(jnp.asarray(lam_grid, dtype=jnp.float32),
-                       jnp.asarray(del_grid, dtype=jnp.float32))
+    betas, iters = run(jnp.asarray(lam_grid, dtype=dt),
+                       jnp.asarray(del_grid, dtype=dt))
     beta_grid = np.asarray(betas, dtype=np.float64).T * scale[:, None]
 
     grid_param = pd.DataFrame({

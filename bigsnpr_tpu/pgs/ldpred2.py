@@ -8,6 +8,8 @@ beta_hat = beta / scale and results are multiplied back
 
 from __future__ import annotations
 
+from contextlib import nullcontext
+
 import numpy as np
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
@@ -19,6 +21,18 @@ from bigsnpr_tpu.ops.corr import SparseLD
 from bigsnpr_tpu.ops.ldscores import ld_scores_sfbm
 from bigsnpr_tpu.pgs.band import build_band
 from bigsnpr_tpu.pgs import gibbs
+
+
+def _x64_ctx(dtype):
+    """dtype="float64" runs the sampler in f64 (reference parity beyond
+    Monte-Carlo tolerance: the C++ samplers accumulate in double). Uses a
+    scoped jax x64 context so the session default stays f32."""
+    dtype = np.dtype(dtype)
+    if dtype == np.float64:
+        return dtype, jax.enable_x64(True)
+    if dtype != np.float32:
+        raise ValueError("dtype must be float32 or float64")
+    return dtype, nullcontext()
 
 
 def _df_beta_arrays(df_beta):
@@ -60,47 +74,54 @@ def snp_ldpred2_grid(corr: SparseLD, df_beta, grid_param,
                      burn_in: int = 50, num_iter: int = 100,
                      return_sampling_betas: bool = False,
                      ind_corr=None, seed: int = 1,
-                     blocks=None) -> np.ndarray:
+                     blocks=None, dtype="float32") -> np.ndarray:
     """Grid model (reference snp_ldpred2_grid, R/LDpred2.R:73-140).
 
     grid_param: dict/DataFrame with p, h2, sparse columns. Returns an
     (m, n_grid) matrix of effects on the allele scale (NaN on divergence),
     or the (num_iter, m)-sampling betas when return_sampling_betas.
+
+    dtype: "float32" (TPU-native) or "float64" (the reference's double
+    accumulation — runs in a scoped jax x64 context).
     """
     beta_hat, N, scale = _df_beta_arrays(df_beta)
-    if blocks is not None and not return_sampling_betas:
-        return _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in,
-                             num_iter, ind_corr, seed, blocks)
-    band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(corr, beta_hat, N, ind_corr)
-    p_grid = np.atleast_1d(np.asarray(grid_param["p"], dtype=np.float64))
-    h2_grid = np.atleast_1d(np.asarray(grid_param["h2"], dtype=np.float64))
-    sp_grid = np.atleast_1d(np.asarray(grid_param["sparse"], dtype=bool))
-    assert np.all(h2_grid > 0)
+    dt, ctx = _x64_ctx(dtype)
+    with ctx:
+        if blocks is not None and not return_sampling_betas:
+            return _grid_blocked(corr, beta_hat, N, scale, grid_param,
+                                 burn_in, num_iter, ind_corr, seed, blocks,
+                                 dt)
+        band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(
+            corr, beta_hat, N, ind_corr, dtype=dt)
+        p_grid = np.atleast_1d(np.asarray(grid_param["p"], dtype=np.float64))
+        h2_grid = np.atleast_1d(np.asarray(grid_param["h2"], dtype=np.float64))
+        sp_grid = np.atleast_1d(np.asarray(grid_param["sparse"], dtype=bool))
+        assert np.all(h2_grid > 0)
 
-    key = jax.random.PRNGKey(seed)
+        key = jax.random.PRNGKey(seed)
 
-    if return_sampling_betas:
-        assert len(p_grid) == 1, "only one set of parameters allowed"
-        samples = gibbs.gibbs_one_sampling(
-            band_sub, ind_sub, bh, nv,
-            jnp.float32(h2_grid[0]), jnp.float32(p_grid[0]), bool(sp_grid[0]),
-            key, burn_in, num_iter, W, m2)
-        return np.asarray(samples).T * scale[:, None]  # (m, num_iter)
+        if return_sampling_betas:
+            assert len(p_grid) == 1, "only one set of parameters allowed"
+            samples = gibbs.gibbs_one_sampling(
+                band_sub, ind_sub, bh, nv,
+                jnp.asarray(h2_grid[0], dt), jnp.asarray(p_grid[0], dt),
+                bool(sp_grid[0]), key, burn_in, num_iter, W, m2)
+            return np.asarray(samples).T * scale[:, None]  # (m, num_iter)
 
-    keys = jax.random.split(key, len(p_grid))
-    run = jax.vmap(
-        lambda h2, p, sprs, k: gibbs.gibbs_one(
-            band_sub, ind_sub, bh, nv, h2, p, sprs, k,
-            burn_in=burn_in, num_iter=num_iter, W=W, m2=m2),
-        in_axes=(0, 0, 0, 0))
-    out = run(jnp.asarray(h2_grid, dtype=jnp.float32),
-              jnp.asarray(p_grid, dtype=jnp.float32),
-              jnp.asarray(sp_grid), keys)          # (n_grid, m)
-    return np.asarray(out).T * scale[:, None]
+        keys = jax.random.split(key, len(p_grid))
+        run = jax.vmap(
+            lambda h2, p, sprs, k: gibbs.gibbs_one(
+                band_sub, ind_sub, bh, nv, h2, p, sprs, k,
+                burn_in=burn_in, num_iter=num_iter, W=W, m2=m2),
+            in_axes=(0, 0, 0, 0))
+        out = run(jnp.asarray(h2_grid, dtype=dt),
+                  jnp.asarray(p_grid, dtype=dt),
+                  jnp.asarray(sp_grid), keys)          # (n_grid, m)
+        return np.asarray(out).T * scale[:, None]
 
 
 def _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in, num_iter,
-                  ind_corr, seed, blocks):
+                  ind_corr, seed, blocks, dt=np.float32):
     """Block-parallel grid sampler (LD must be block-diagonal w.r.t.
     `blocks`, e.g. from snp_ldsplit): sequential depth = max block size."""
     import jax
@@ -108,7 +129,7 @@ def _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in, num_iter,
     from bigsnpr_tpu.pgs import gibbs_blocked as gb
 
     blocks = np.asarray(blocks, dtype=np.int64)
-    bands, W = gb.build_block_bands(corr, blocks, ind_corr=ind_corr)
+    bands, W = gb.build_block_bands(corr, blocks, ind_corr=ind_corr, dtype=dt)
     slot, _, _ = gb.block_layout(blocks)
     B, mb = bands.shape[0], bands.shape[1]
     m = len(beta_hat)
@@ -120,11 +141,11 @@ def _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in, num_iter,
     run = jax.vmap(
         lambda h2, p, sprs, k: gb.gibbs_one_blocked(
             jnp.asarray(bands), jnp.asarray(slot),
-            jnp.asarray(beta_hat, jnp.float32), jnp.asarray(N, jnp.float32),
+            jnp.asarray(beta_hat, dt), jnp.asarray(N, dt),
             h2, p, sprs, k, burn_in=burn_in, num_iter=num_iter,
             W=W, m=m, B=B, mb=mb),
         in_axes=(0, 0, 0, 0))
-    out = run(jnp.asarray(h2_grid, jnp.float32), jnp.asarray(p_grid, jnp.float32),
+    out = run(jnp.asarray(h2_grid, dt), jnp.asarray(p_grid, dt),
               jnp.asarray(sp_grid), keys)
     return np.asarray(out).T * scale[:, None]
 
@@ -136,20 +157,39 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
                      use_MLE: bool = True, p_bounds=(1e-5, 1.0),
                      alpha_bounds=(-1.5, 0.5), ind_corr=None,
                      seed: int = 1, blocks=None,
-                     shard_blocks: bool = False) -> list[dict]:
+                     shard_blocks: bool = False,
+                     dtype="float32") -> list[dict]:
     """Auto model (reference snp_ldpred2_auto, R/LDpred2.R:203-286).
 
     Returns a list (over vec_p_init) of dicts with beta_est, postp_est,
     corr_est, sample_beta, path_{p,h2,alpha}_est, {h2,p,alpha}_est,
     h2_init, p_init (and beta_est_sparse when sparse=True).
+
+    dtype: "float32" (TPU-native) or "float64" (the reference's double
+    accumulation — runs in a scoped jax x64 context).
     """
     assert h2_init > 0
     beta_hat, N, scale = _df_beta_arrays(df_beta)
     sd = 1.0 / scale
     log_var = 2.0 * np.log(sd)
+    dt, ctx = _x64_ctx(dtype)
+    with ctx:
+        return _ldpred2_auto_impl(
+            corr, beta_hat, N, sd, log_var, h2_init, vec_p_init, burn_in,
+            num_iter, sparse, report_step, allow_jump_sign, shrink_corr,
+            use_MLE, p_bounds, alpha_bounds, ind_corr, seed, blocks,
+            shard_blocks, dt)
+
+
+def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
+                       burn_in, num_iter, sparse, report_step,
+                       allow_jump_sign, shrink_corr, use_MLE, p_bounds,
+                       alpha_bounds, ind_corr, seed, blocks, shard_blocks,
+                       dt):
     if blocks is None:
-        band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(corr, beta_hat, N, ind_corr)
-        lv = jnp.asarray(log_var, dtype=jnp.float32)
+        band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(
+            corr, beta_hat, N, ind_corr, dtype=dt)
+        lv = jnp.asarray(log_var, dtype=dt)
     if ind_corr is None:
         ind_corr_np = np.arange(corr.shape[0])
     else:
@@ -167,7 +207,8 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
         from bigsnpr_tpu.pgs import gibbs_blocked as gb
 
         blocks_arr = np.asarray(blocks, dtype=np.int64)
-        bands, Wb = gb.build_block_bands(corr, blocks_arr, ind_corr=ind_corr)
+        bands, Wb = gb.build_block_bands(corr, blocks_arr, ind_corr=ind_corr,
+                                         dtype=dt)
         slot, _, _ = gb.block_layout(blocks_arr)
         if shard_blocks:
             bands_dev, slot_dev, B = gb.shard_blocked_arrays(bands, slot)
@@ -179,18 +220,19 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
         runb = jax.vmap(
             lambda p0, k: gb.gibbs_auto_blocked(
                 bands_dev, slot_dev,
-                jnp.asarray(beta_hat, jnp.float32),
-                jnp.asarray(N, jnp.float32),
-                jnp.asarray(log_var, jnp.float32),
-                p0, jnp.float32(h2_init), k, jnp.float32(shrink_corr),
-                jnp.asarray(p_bounds, dtype=jnp.float32),
-                jnp.asarray(np.asarray(alpha_bounds) + 1, dtype=jnp.float32),
-                jnp.float32(mean_ld),
+                jnp.asarray(beta_hat, dt),
+                jnp.asarray(N, dt),
+                jnp.asarray(log_var, dt),
+                p0, jnp.asarray(h2_init, dt), k,
+                jnp.asarray(shrink_corr, dt),
+                jnp.asarray(p_bounds, dtype=dt),
+                jnp.asarray(np.asarray(alpha_bounds) + 1, dtype=dt),
+                jnp.asarray(mean_ld, dt),
                 burn_in=burn_in, num_iter=num_iter, W=Wb, m=m, B=B, mb=mb,
                 report_step=report_step, use_mle=use_MLE,
                 no_jump_sign=not allow_jump_sign),
             in_axes=(0, 0))
-        outs = runb(jnp.asarray(vec_p_init, dtype=jnp.float32), keys)
+        outs = runb(jnp.asarray(vec_p_init, dtype=dt), keys)
         results = []
         for c in range(len(vec_p_init)):
             res = {k2: np.asarray(v[c], dtype=np.float64)
@@ -207,16 +249,16 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
     run = jax.vmap(
         lambda p0, k: gibbs.gibbs_auto(
             band_sub, ind_sub, bh, nv, lv,
-            p0, jnp.float32(h2_init), k,
-            jnp.float32(shrink_corr),
-            jnp.asarray(p_bounds, dtype=jnp.float32),
-            jnp.asarray(np.asarray(alpha_bounds) + 1, dtype=jnp.float32),
-            jnp.float32(mean_ld),
+            p0, jnp.asarray(h2_init, dt), k,
+            jnp.asarray(shrink_corr, dt),
+            jnp.asarray(p_bounds, dtype=dt),
+            jnp.asarray(np.asarray(alpha_bounds) + 1, dtype=dt),
+            jnp.asarray(mean_ld, dt),
             burn_in=burn_in, num_iter=num_iter, report_step=report_step,
             W=W, m2=m2, use_mle=use_MLE,
             no_jump_sign=not allow_jump_sign),
         in_axes=(0, 0))
-    outs = run(jnp.asarray(vec_p_init, dtype=jnp.float32), keys)
+    outs = run(jnp.asarray(vec_p_init, dtype=dt), keys)
 
     results = []
     for c in range(len(vec_p_init)):
@@ -230,8 +272,8 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
         if sparse and np.isfinite(res["h2_est"]):
             bg = gibbs.gibbs_one(
                 band_sub, ind_sub, bh, nv,
-                jnp.float32(res["h2_est"]), jnp.float32(res["p_est"]), True,
-                jax.random.fold_in(keys[c], 12345),
+                jnp.asarray(res["h2_est"], dt), jnp.asarray(res["p_est"], dt),
+                True, jax.random.fold_in(keys[c], 12345),
                 burn_in=50, num_iter=100, W=W, m2=m2)
             res["beta_est_sparse"] = np.asarray(bg, dtype=np.float64) / sd
         results.append(res)

@@ -236,3 +236,38 @@ def test_auto_h2_path_consistent_with_sample_betas(pipeline):
         h2_direct = s @ R @ s
         np.testing.assert_allclose(res["path_h2_est"][k], h2_direct,
                                    rtol=5e-3, atol=1e-4)
+
+
+def test_f64_sampler_option():
+    """dtype="float64" (scoped x64): samplers run in double like the
+    reference's C++ accumulation; results agree with f32 at MC level and
+    lassosum2 (deterministic) agrees tightly."""
+    pack = snp_fake(400, 120, seed=5)
+    sim = snp_simuPheno(pack, h2=0.5, M=20, seed=3)
+    gwas = big_univLinReg(pack, sim["pheno"])
+    df_beta = {"beta": gwas["estim"].to_numpy(),
+               "beta_se": gwas["std.err"].to_numpy(),
+               "n_eff": np.full(pack.m, 400.0)}
+    corr = snp_cor(pack, size=30)
+
+    grid = {"p": [0.2], "h2": [0.5], "sparse": [False]}
+    b32 = snp_ldpred2_grid(corr, df_beta, grid, burn_in=30, num_iter=60,
+                           seed=7)
+    b64 = snp_ldpred2_grid(corr, df_beta, grid, burn_in=30, num_iter=60,
+                           seed=7, dtype="float64")
+    assert np.isfinite(b64).all()
+    r = np.corrcoef(b32.ravel(), b64.ravel())[0, 1]
+    assert r > 0.95
+
+    auto64 = snp_ldpred2_auto(corr, df_beta, h2_init=0.5, vec_p_init=0.2,
+                              burn_in=40, num_iter=60, dtype="float64")[0]
+    assert np.isfinite(auto64["beta_est"]).all()
+    assert 0.0 < auto64["h2_est"] < 2.0
+
+    from bigsnpr_tpu.pgs.lassosum2 import snp_lassosum2 as las
+    g32, _ = las(corr, df_beta, delta=(0.1,), nlambda=5)
+    g64, _ = las(corr, df_beta, delta=(0.1,), nlambda=5, dtype="float64")
+    np.testing.assert_allclose(g32, g64, rtol=2e-3, atol=2e-5)
+
+    import jax.numpy as jnp
+    assert jnp.asarray(1.0).dtype == jnp.float32  # session default intact
