@@ -237,10 +237,24 @@ def snp_readBGEN(bgenfiles, list_snp_id, ind_row=None, bgi_dir=None,
 
 
 def snp_prodBGEN(bgenfile, beta, list_snp_id, ind_row=None, bgi_dir=None,
-                 block_size: int = 1000):
+                 block_size: int = 1024, engine: str = "auto"):
     """bgen[ind_row, snps] @ beta without materializing the full matrix
     (reference snp_prodBGEN, R/prod-bgen.R:21-84 / src/prod-bgen.cpp:71-141).
-    Dosage-scale product, missing -> mean dosage of the variant."""
+    Dosage-scale product, NA propagates into the product (reference).
+
+    Blocks of `block_size` variants are inflated+decoded on host (8-bit
+    pair sums e, exact integers) and GEMM-accumulated. engine:
+      - "host": f64 BLAS GEMM per block — bit-parity with the reference's
+        double accumulation.
+      - "device": f32 (precision=highest) GEMM on the accelerator with a
+        hi/lo double-single split of beta (~1e-6 relative). jax's async
+        dispatch overlaps the host decode of block k+1 with the device
+        GEMM of block k — ingest overlapped with compute.
+      - "auto": device on TPU, host otherwise.
+    The /255 dosage scaling is applied once at the end in f64, so the
+    GEMM planes hold exact small integers."""
+    import jax
+
     beta = np.atleast_2d(np.asarray(beta, dtype=np.float64))
     if beta.shape[0] == 1 and beta.size == len(list_snp_id):
         beta = beta.T
@@ -252,11 +266,59 @@ def snp_prodBGEN(bgenfile, beta, list_snp_id, ind_row=None, bgi_dir=None,
            if bgi_dir else Path(str(bgenfile) + ".bgi"))
     info = snp_readBGI(bgi, list_snp_id)
     buf = Path(bgenfile).read_bytes()
+    starts = [int(s) for s in info["file_start_position"]]
+    m = len(starts)
+    n_sub = len(ind_row)
+    K = beta.shape[1]
+    if engine == "auto":
+        engine = "device" if jax.default_backend() == "tpu" else "host"
 
-    acc = np.zeros((len(ind_row), beta.shape[1]))
-    for j, start in enumerate(info["file_start_position"]):
-        _, e, miss, _ = _read_variant_raw(buf, int(start), ind_row, N)
-        d = (510.0 - e) / 255.0  # exact dosage (reference decode 510:0/255)
-        d[miss] = np.nan         # NA propagates into the product (reference)
-        acc += np.outer(d, beta[j])
-    return acc if acc.shape[1] > 1 else acc[:, 0]
+    def decode_block(b0, b1):
+        e_block = np.zeros((block_size, n_sub), dtype=np.uint16)
+        e_block[b1 - b0:] = 510                        # pad dosage 0
+        for jj, start in enumerate(starts[b0:b1]):
+            _, e, miss, _ = _read_variant_raw(buf, start, ind_row, N)
+            e = e.astype(np.uint16)
+            e[miss] = 65535                            # NA sentinel
+            e_block[jj] = e
+        return e_block
+
+    if engine == "device":
+        import jax.numpy as jnp
+
+        import bigsnpr_tpu.config as config
+
+        @jax.jit
+        def gemm_acc(acc, e_block, beta_block):
+            rev = 510.0 - e_block.astype(jnp.float32)  # exact ints in f32
+            rev = jnp.where(e_block == np.uint16(65535), jnp.nan, rev)
+            return acc + jnp.dot(rev.T, beta_block,
+                                 preferred_element_type=jnp.float32,
+                                 precision=config.matmul_precision)
+
+        b_hi = beta.astype(np.float32)
+        b_lo = (beta - b_hi).astype(np.float32)        # double-single split
+        acc_hi = jnp.zeros((n_sub, K), jnp.float32)
+        acc_lo = jnp.zeros((n_sub, K), jnp.float32)
+        for b0 in range(0, m, block_size):
+            b1 = min(b0 + block_size, m)
+            e_block = decode_block(b0, b1)
+            bh = np.zeros((block_size, K), dtype=np.float32)
+            bl = np.zeros((block_size, K), dtype=np.float32)
+            bh[:b1 - b0] = b_hi[b0:b1]                 # pad rows beta=0
+            bl[:b1 - b0] = b_lo[b0:b1]
+            e_dev = jnp.asarray(e_block)
+            acc_hi = gemm_acc(acc_hi, e_dev, jnp.asarray(bh))
+            acc_lo = gemm_acc(acc_lo, e_dev, jnp.asarray(bl))
+        out = (np.asarray(acc_hi, dtype=np.float64)
+               + np.asarray(acc_lo, dtype=np.float64)) / 255.0
+    else:
+        acc = np.zeros((n_sub, K))
+        for b0 in range(0, m, block_size):
+            b1 = min(b0 + block_size, m)
+            e_block = decode_block(b0, b1)[:b1 - b0].astype(np.float64)
+            rev = 510.0 - e_block
+            rev[e_block == 65535] = np.nan
+            acc += rev.T @ beta[b0:b1]
+        out = acc / 255.0
+    return out if out.shape[1] > 1 else out[:, 0]

@@ -176,3 +176,20 @@ def test_bgen_to_pgs_flow(bgen_files, oracles):
                            burn_in=30, num_iter=50)
     assert out.shape == (m, 1)
     assert np.isfinite(out).all()
+
+
+def test_prod_bgen_device_engine(bgen_files, oracles):
+    """The accelerator GEMM path (hi/lo beta split) tracks the exact host
+    product to ~1e-6 relative."""
+    from bigsnpr_tpu.io.bgen import snp_prodBGEN
+
+    variants, dosages, _ = oracles
+    IDs = [f"1_{p}_{a1}_{a2}" for p, a1, a2 in zip(
+        variants["physical.pos"], variants["allele1"], variants["allele2"])]
+    rng = np.random.default_rng(5)
+    beta = rng.standard_normal(len(IDs))
+    host = snp_prodBGEN(bgen_files, beta, IDs, engine="host")
+    dev = snp_prodBGEN(bgen_files, beta, IDs, engine="device",
+                       block_size=7)  # force multi-block accumulation
+    np.testing.assert_allclose(dev, host, rtol=5e-6, atol=5e-6,
+                               equal_nan=True)
