@@ -60,15 +60,17 @@ def snp_counts(pack, ind_row=None, block=None) -> np.ndarray:
     Reference: bed_counts / bed_col_counts_cpp (src/bed-fun.cpp:51-98).
     """
     n = pack.n
-    packed = np.asarray(pack.packed)
+    m = pack.m
     block = block or pick_block(n)
-    padded, m = pad_rows(packed, block)
+    if hasattr(pack, "device_packed_padded"):
+        padded = pack.device_packed_padded(block)  # uploaded once per pack
+    else:
+        padded = jnp.asarray(pad_rows(np.asarray(pack.packed), block)[0])
     if ind_row is not None:
         out = _counts_rows_blocked(
-            jnp.asarray(padded), jnp.asarray(np.asarray(ind_row), jnp.int32),
-            n, block)
+            padded, jnp.asarray(np.asarray(ind_row), jnp.int32), n, block)
     else:
-        out = _counts_blocked(jnp.asarray(padded), n, block)
+        out = _counts_blocked(padded, n, block)
     return np.asarray(out)[:, :m]
 
 

@@ -101,6 +101,28 @@ def power_iter_fn(mesh: Mesh, n_pad: int, precision="highest"):
     return jax.jit(fn)
 
 
+def power_both_fn(mesh: Mesh, precision="highest"):
+    """Jitted sharded fused Krylov step: (packed, Q, center, scale) ->
+    (B = X̃ᵀQ P('v',None), Y = X̃B P('s',None)) in ONE program — the
+    intermediate stays sharded on device between the two collectives."""
+
+    def local(packed_loc, Q_loc, c_loc, s_loc):
+        n_loc = packed_loc.shape[1] * 4
+        xt = unpack_standardized(packed_loc, n_loc, c_loc, s_loc)
+        z = jax.lax.psum(
+            jnp.dot(xt, Q_loc, preferred_element_type=jnp.float32,
+                    precision=precision), "s")           # (m_loc, l)
+        y = jax.lax.psum(
+            jnp.dot(xt.T, z, preferred_element_type=jnp.float32,
+                    precision=precision), "v")           # (n_loc, l)
+        return z, y
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("v", "s"), P("s", None), P("v"), P("v")),
+        out_specs=(P("v", None), P("s", None))))
+
+
 def cprod_fn(mesh: Mesh, precision="highest"):
     """Jitted sharded X̃ᵀ V: (packed, V, center, scale) -> (m_pad, l) P('v')."""
 
@@ -159,6 +181,7 @@ class MeshOperator:
             jnp.asarray(s), jax.sharding.NamedSharding(self.mesh, P("v")))
         self._cprod = cprod_fn(self.mesh, precision=precision)
         self._prod = prod_fn(self.mesh, precision=precision)
+        self._power = power_both_fn(self.mesh, precision=precision)
         self._sV = jax.sharding.NamedSharding(self.mesh, P("s", None))
         self._sU = jax.sharding.NamedSharding(self.mesh, P("v", None))
 
@@ -187,6 +210,18 @@ class MeshOperator:
                          self.center, self.scale)
         res = np.asarray(out)[:self.n]
         return res[:, 0] if squeeze else res
+
+    def power(self, V):
+        """One fused Krylov step: (X̃ᵀV, X̃X̃ᵀV) with a single dispatch
+        (both collectives ride the mesh; nothing returns to host
+        in between)."""
+        V = np.asarray(V, dtype=np.float32)
+        Vp = np.zeros((self.n_pad, V.shape[1]), dtype=np.float32)
+        Vp[:self.n] = V
+        B, Y = self._power(self.packed,
+                           jax.device_put(jnp.asarray(Vp), self._sV),
+                           self.center, self.scale)
+        return np.asarray(B)[:self.m], np.asarray(Y)[:self.n]
 
 
 def colstats_fn(mesh: Mesh):

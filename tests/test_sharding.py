@@ -121,3 +121,19 @@ def test_mesh_autosvd():
     res_x = snp_autoSVD(pack, thr_r2=0.95, min_mac=2, min_maf=0.01, k=4,
                         max_iter=1, svd_kwargs={"engine": "xla"})
     np.testing.assert_allclose(res.d, res_x.d, rtol=1e-3)
+
+
+def test_mesh_power_fused():
+    """MeshOperator.power == (cprod, prod∘cprod) — one fused sharded
+    program, both collectives on the mesh."""
+    import numpy as np
+    from bigsnpr_tpu import snp_fake, bed_scaleBinom
+    from bigsnpr_tpu.parallel.mesh import MeshOperator, make_mesh
+
+    pack = snp_fake(301, 140, seed=2, na_prob=0.05)
+    sc = bed_scaleBinom(pack)
+    op = MeshOperator(pack, sc["center"], sc["scale"], mesh=make_mesh(8))
+    V = np.random.default_rng(0).standard_normal((301, 6)).astype(np.float32)
+    B, Y = op.power(V)
+    np.testing.assert_allclose(B, op.cprod(V), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(Y, op.prod(op.cprod(V)), rtol=1e-4, atol=1e-4)
