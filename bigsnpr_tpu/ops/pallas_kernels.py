@@ -73,22 +73,23 @@ def _cprod_kernel(pb_ref, q_ref, cs_ref, out_ref):
     out_ref[...] += part
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def pallas_cprod(packed, Qp, cs, interpret=False):
+@partial(jax.jit, static_argnames=("interpret", "tm"))
+def pallas_cprod(packed, Qp, cs, interpret=False, tm=TM):
     """X̃ᵀ-product: (m, nb) packed, Qp (l, n_pad) permuted, cs (2+, m)
-    [center; 1/scale] -> (l, m). l must be a multiple of 8."""
+    [center; 1/scale] -> (l, m). l must be a multiple of 8; m a multiple
+    of the variant tile `tm` (tunable, default TM)."""
     m, nb = packed.shape
     l = Qp.shape[0]
-    grid = (m // TM, nb // TNB)
+    grid = (m // tm, nb // TNB)
     return pl.pallas_call(
         _cprod_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TM, TNB), lambda i, j: (i, j)),
+            pl.BlockSpec((tm, TNB), lambda i, j: (i, j)),
             pl.BlockSpec((l, TN), lambda i, j: (0, j)),
-            pl.BlockSpec((cs.shape[0], TM), lambda i, j: (0, i)),
+            pl.BlockSpec((cs.shape[0], tm), lambda i, j: (0, i)),
         ],
-        out_specs=pl.BlockSpec((l, TM), lambda i, j: (0, i)),
+        out_specs=pl.BlockSpec((l, tm), lambda i, j: (0, i)),
         out_shape=jax.ShapeDtypeStruct((l, m), jnp.float32),
         interpret=interpret,
     )(packed, Qp, cs)
@@ -109,19 +110,19 @@ def _prod_kernel(pb_ref, z_ref, cs_ref, out_ref):
     out_ref[...] += part
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def pallas_prod(packed, Zt, cs, interpret=False):
+@partial(jax.jit, static_argnames=("interpret", "tm"))
+def pallas_prod(packed, Zt, cs, interpret=False, tm=TM):
     """X̃-product: Zt (l, m) -> (l, n_pad) permuted-sample outputs."""
     m, nb = packed.shape
     l = Zt.shape[0]
-    grid = (nb // TNB, m // TM)
+    grid = (nb // TNB, m // tm)
     return pl.pallas_call(
         _prod_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TM, TNB), lambda j, i: (i, j)),
-            pl.BlockSpec((l, TM), lambda j, i: (0, i)),
-            pl.BlockSpec((cs.shape[0], TM), lambda j, i: (0, i)),
+            pl.BlockSpec((tm, TNB), lambda j, i: (i, j)),
+            pl.BlockSpec((l, tm), lambda j, i: (0, i)),
+            pl.BlockSpec((cs.shape[0], tm), lambda j, i: (0, i)),
         ],
         out_specs=pl.BlockSpec((l, TN), lambda j, i: (0, j)),
         out_shape=jax.ShapeDtypeStruct((l, nb * 4), jnp.float32),

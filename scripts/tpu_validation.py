@@ -1,12 +1,14 @@
 """On-chip validation suite — run when a TPU is reachable.
 
 Measures (with data-dependent chained timing):
-  1. XLA vs Pallas matvec throughput (the bench metric)
-  2. randomized SVD wall time at a mid-size cohort
-  3. Gibbs sweep throughput, sequential vs block-parallel vs sharded
-  4. examples/full_pipeline.py at reduced size on-chip
+  1. XLA vs Pallas power-iter throughput (the bench metric), via the
+     device-resident operators (XlaOperator / PallasOperator.power)
+  2. Pallas variant-tile (TM) sweep for tuning
+  3. randomized SVD wall time at a mid-size cohort
+  4. Gibbs sweep throughput, sequential vs block-parallel
+  5. snp_cor device-compaction throughput
 
-Usage: python scripts/tpu_validation.py [--quick]
+Usage: python scripts/tpu_validation.py [--quick] [--sweep]
 """
 
 import os
@@ -19,93 +21,82 @@ import numpy as np
 
 
 def timeit_chained(step, x0, iters=10):
+    """Chained timing: each step's output feeds the next (async-dispatch-proof)."""
     out = step(x0)
-    out.block_until_ready()
-    out = step(out)
-    out.block_until_ready()
+    out = step(out)  # compile the chained form
+    import jax
+
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(out)
-    out.block_until_ready()
+    jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
 
-def main(quick=False):
+def main(quick=False, sweep=False):
     import jax
     import jax.numpy as jnp
 
     print("backend:", jax.default_backend(), jax.devices())
     assert jax.default_backend() != "cpu", "no TPU reachable"
 
-    from bigsnpr_tpu.core.unpack import unpack_standardized
+    from bigsnpr_tpu.core.genotypes import GenoPack
     from bigsnpr_tpu.ops import pallas_kernels as pk
+    from bigsnpr_tpu.ops.matvec import XlaOperator
+    from bigsnpr_tpu.ops.stats import bed_scaleBinom
 
     m, n, l = (32768, 8192, 8) if quick else (131072, 16384, 8)
     rng = np.random.default_rng(0)
-    packed = jnp.asarray(rng.integers(0, 256, size=(m, n // 4), dtype=np.uint8))
-    center = jnp.asarray(rng.uniform(0.2, 1.8, m).astype(np.float32))
-    scale = jnp.asarray(rng.uniform(0.3, 1.0, m).astype(np.float32))
-    Q0 = jnp.asarray(rng.standard_normal((n, l)).astype(np.float32))
+    pack = GenoPack(
+        packed=rng.integers(0, 256, size=(m, n // 4), dtype=np.uint8), n=n)
+    sc = bed_scaleBinom(pack)
+    center = np.asarray(sc["center"])
+    scale = np.where(np.asarray(sc["scale"]) > 0, np.asarray(sc["scale"]), 1)
+    Q0 = rng.standard_normal((n, l)).astype(np.float32)
 
-    # 1a. XLA power-iter
-    block = 4096
-    nblocks = m // block
+    # 1. operator power-iter (device-side chaining via the raw jit fns)
+    ops = {"xla": XlaOperator(pack, center, scale),
+           "pallas": pk.PallasOperator(pack, center, scale)}
+    base = {}
+    for name, op in ops.items():
+        def step(Q, op=op):
+            _, Y = op.power(np.asarray(Q) * 1e-3)
+            return jnp.asarray(Y)
 
-    @jax.jit
-    def xla_step(Q):
-        Q = Q[:, :l] * 1e-3
-        pb = packed.reshape(nblocks, block, n // 4)
-        cb = center.reshape(nblocks, block)
-        sb = scale.reshape(nblocks, block)
+        dt = timeit_chained(step, Q0, iters=5)
+        base[name] = dt
+        print(f"{name} power-iter: {dt*1e3:.1f} ms -> "
+              f"{2*m*n/dt/1e9:.0f} G visits/s")
 
-        def body(acc, args):
-            p, c, s = args
-            xt = unpack_standardized(p, n, c, s)
-            z = jnp.dot(xt, Q, preferred_element_type=jnp.float32,
-                        precision="highest")
-            return acc + jnp.dot(xt.T, z, preferred_element_type=jnp.float32,
-                                 precision="highest"), None
+    # 2. TM sweep (Pallas)
+    if sweep:
+        op = ops["pallas"]
+        for tm in (128, 256, 512, 1024):
+            if op.packed.shape[0] % tm:
+                continue
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((n, l), jnp.float32),
-                              (pb, cb, sb))
-        return acc
+            def step(Q, tm=tm):
+                Qk = jnp.zeros((op.n_pad, l), jnp.float32).at[
+                    op.row_pos].set(Q * 1e-3)
+                B = pk.pallas_cprod(op.packed, Qk.T, op.cs, tm=tm)
+                Y = pk.pallas_prod(op.packed, B, op.cs, tm=tm)
+                return Y[:l].T[op.row_pos]
 
-    dt = timeit_chained(xla_step, Q0)
-    print(f"XLA power-iter: {dt*1e3:.1f} ms -> "
-          f"{2*m*n/dt/1e9:.0f} G visits/s")
+            dt = timeit_chained(step, jnp.asarray(Q0), iters=5)
+            print(f"  TM={tm}: {dt*1e3:.1f} ms -> "
+                  f"{2*m*n/dt/1e9:.0f} G visits/s")
 
-    # 1b. Pallas power-iter
-    cs = np.zeros((8, m), dtype=np.float32)
-    cs[0] = np.asarray(center)
-    cs[1] = 1.0 / np.asarray(scale)
-    csj = jnp.asarray(cs)
-    perm = pk.sample_perm(n)
-    permj = jnp.asarray(perm)
-    inv_perm = jnp.asarray(np.argsort(perm))
-
-    @jax.jit
-    def pallas_step(Q):
-        Qp = (Q[:, :l] * 1e-3).T[:, permj]
-        Zt = pk.pallas_cprod(packed, Qp, csj)
-        Yt = pk.pallas_prod(packed, Zt, csj)
-        return Yt[:, inv_perm].T
-
-    dtp = timeit_chained(pallas_step, Q0)
-    print(f"Pallas power-iter: {dtp*1e3:.1f} ms -> "
-          f"{2*m*n/dtp/1e9:.0f} G visits/s ({dt/dtp:.1f}x vs XLA)")
-
-    # 2. SVD wall time
-    from bigsnpr_tpu.core.genotypes import GenoPack
+    # 3. SVD wall time
     from bigsnpr_tpu.linalg.randomsvd import snp_randomSVD
 
-    pack = GenoPack(packed=np.asarray(packed), n=n)
     for engine in ("xla", "pallas"):
         t0 = time.perf_counter()
         svd = snp_randomSVD(pack, k=10, tol=1e-4, engine=engine)
         print(f"randomSVD[{engine}]: {time.perf_counter()-t0:.1f}s "
               f"depth={svd.niter}")
 
-    # 3. Gibbs throughput
+    # 4. Gibbs throughput
     import scipy.sparse as sp
     from bigsnpr_tpu.ops.corr import SparseLD
     from bigsnpr_tpu.pgs.ldpred2 import snp_ldpred2_grid
@@ -135,8 +126,19 @@ def main(quick=False):
     print(f"Gibbs block-parallel ({nb} blocks): {dt_blk:.1f}s "
           f"({dt_seq/dt_blk:.1f}x)")
 
+    # 5. snp_cor device compaction
+    from bigsnpr_tpu.ops.corr import snp_cor
+
+    mc = 4096 if quick else 16384
+    sub = GenoPack(packed=np.asarray(pack.packed[:mc]), n=n)
+    t0 = time.perf_counter()
+    ld = snp_cor(sub, size=500, thr_r2=0.01, finalize="device")
+    dt = time.perf_counter() - t0
+    print(f"snp_cor[device-compact] {mc}x{n}: {dt:.1f}s, "
+          f"nnz={ld.upper.nnz} ({mc/dt:.0f} variants/s)")
+
     print("OK — update BENCH_NOTES.md with these numbers.")
 
 
 if __name__ == "__main__":
-    main(quick="--quick" in sys.argv)
+    main(quick="--quick" in sys.argv, sweep="--sweep" in sys.argv)
