@@ -14,11 +14,18 @@ Baseline: the reference's OpenMP bed matvec is a memory-bound
 byte-per-genotype pass; on its README hardware class (15 cores) that is
 ~10 G genotype-visits/s. vs_baseline = ours / 10e9.
 
-Robustness: the measurement runs in a subprocess with a timeout; if the
-TPU is unreachable the parent reports a CPU fallback (flagged by a much
-smaller value) rather than hanging the driver.
+Robustness (round-1 postmortem: the only driver-captured number was a
+CPU fallback because first-time XLA+Pallas compilation of the big shapes
+blew the single 900 s subprocess budget):
+  - measurements run in subprocesses with timeouts;
+  - the axon plugin caches compilations server-side ACROSS processes,
+    so after a timed-out attempt the SAME shape is retried once more —
+    the retry hits the warm cache and completes in seconds;
+  - a smaller TPU shape is tried before falling back to CPU;
+  - the JSON says which path won, on which backend, at which shape, and
+    carries per-path numbers; path errors go to stderr, never swallowed.
 
-Prints ONE JSON line.
+Prints ONE JSON line (last line of stdout).
 """
 
 import json
@@ -31,38 +38,54 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_GVS = 10.0  # G genotype-visits/s, reference-class CPU estimate
 
+SIZES = {
+    # name -> (m, n, l, iters); packed bytes = m * n / 4
+    "big": (131072, 16384, 8, 10),     # 512 MB packed
+    "mid": (65536, 8192, 8, 10),       # 128 MB packed
+    "cpu": (8192, 4096, 8, 3),
+}
 
-def _measure():
+
+def _measure(size_name):
     import numpy as np
     import jax
     import jax.numpy as jnp
     from bigsnpr_tpu.core.unpack import unpack_standardized
     from bigsnpr_tpu.ops import pallas_kernels as pk
 
-    on_tpu = jax.default_backend() not in ("cpu",)
-    if on_tpu:
-        m, n, l = 131072, 16384, 8
-        iters = 10
-    else:
-        m, n, l = 8192, 4096, 8
-        iters = 3
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+    m, n, l, iters = SIZES[size_name]
 
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    log(f"backend={backend} size={size_name} m={m} n={n}")
     rng = np.random.default_rng(0)
-    packed = jnp.asarray(rng.integers(0, 256, size=(m, n // 4), dtype=np.uint8))
+    t0 = time.perf_counter()
+    packed = jax.device_put(
+        rng.integers(0, 256, size=(m, n // 4), dtype=np.uint8))
+    packed.block_until_ready()
+    log(f"packed transfer {m * n // 4 / 1e6:.0f} MB in "
+        f"{time.perf_counter() - t0:.1f}s")
     center = jnp.asarray(rng.uniform(0.2, 1.8, m).astype(np.float32))
     scale = jnp.asarray(rng.uniform(0.3, 1.0, m).astype(np.float32))
     Q0 = jnp.asarray(rng.standard_normal((n, l)).astype(np.float32))
 
     def timeit(step, q0, iters):
+        t0 = time.perf_counter()
         out = step(q0)
         out.block_until_ready()
         out = step(out)  # compile the chained form
         out.block_until_ready()
+        log(f"compile+warmup {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step(out)
         out.block_until_ready()
         return (time.perf_counter() - t0) / iters
+
+    results = {}
 
     # ---- XLA path
     block = 4096
@@ -86,11 +109,15 @@ def _measure():
         acc, _ = jax.lax.scan(body, jnp.zeros((n, l), jnp.float32), (pb, cb, sb))
         return acc
 
-    dt_xla = timeit(xla_step, Q0, iters)
-    gvs_xla = 2.0 * m * n / dt_xla / 1e9
+    try:
+        dt_xla = timeit(xla_step, Q0, iters)
+        results["gvs_xla"] = round(2.0 * m * n / dt_xla / 1e9, 2)
+        log(f"xla: {dt_xla*1e3:.1f} ms/iter -> {results['gvs_xla']} GVS")
+    except Exception as e:  # noqa: BLE001 - reported, not swallowed
+        log(f"xla path FAILED: {type(e).__name__}: {e}")
+        results["error_xla"] = f"{type(e).__name__}: {e}"[:200]
 
     # ---- Pallas path (TPU only)
-    gvs_pallas = 0.0
     if on_tpu:
         try:
             cs = np.zeros((8, m), dtype=np.float32)
@@ -109,17 +136,28 @@ def _measure():
                 return Yt[:, inv_perm].T
 
             dt_p = timeit(pallas_step, Q0, iters)
-            gvs_pallas = 2.0 * m * n / dt_p / 1e9
-        except Exception:
-            gvs_pallas = 0.0
+            results["gvs_pallas"] = round(2.0 * m * n / dt_p / 1e9, 2)
+            log(f"pallas: {dt_p*1e3:.1f} ms/iter -> "
+                f"{results['gvs_pallas']} GVS")
+        except Exception as e:  # noqa: BLE001 - reported, not swallowed
+            log(f"pallas path FAILED: {type(e).__name__}: {e}")
+            results["error_pallas"] = f"{type(e).__name__}: {e}"[:200]
 
-    gvs = max(gvs_xla, gvs_pallas)
-    print(json.dumps({
+    gvs = max(results.get("gvs_xla", 0.0), results.get("gvs_pallas", 0.0))
+    winner = ("pallas" if results.get("gvs_pallas", 0.0) >=
+              results.get("gvs_xla", 0.0) else "xla")
+    out = {
         "metric": "genotype matvec Gvariant*samples/s/chip",
         "value": round(gvs, 2),
         "unit": "G visits/s",
         "vs_baseline": round(gvs / BASELINE_GVS, 2),
-    }), flush=True)
+        "path": winner,
+        "backend": backend,
+        "shape": f"{m}x{n}",
+        "cpu_fallback": not on_tpu,
+    }
+    out.update(results)
+    print(json.dumps(out), flush=True)
 
 
 def main():
@@ -128,25 +166,44 @@ def main():
             import jax
 
             jax.config.update("jax_platforms", "cpu")
-        _measure()
+        _measure(os.environ["BIGSNPR_BENCH_SIZE"])
         return
 
     env = dict(os.environ, BIGSNPR_BENCH_CHILD="1")
-    for attempt_env, timeout in ((env, 900),
-                                 (dict(env, BIGSNPR_BENCH_CPU="1"), 600)):
+    # (env, size, timeout). The repeated "big" attempt is deliberate:
+    # a first-compile timeout leaves the server-side compile cache warm,
+    # so the retry completes quickly.
+    attempts = [
+        (env, "big", 1500),
+        (env, "big", 900),
+        (env, "mid", 900),
+        (dict(env, BIGSNPR_BENCH_CPU="1"), "cpu", 600),
+    ]
+    for attempt_env, size, timeout in attempts:
+        attempt_env = dict(attempt_env, BIGSNPR_BENCH_SIZE=size)
         try:
             res = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=attempt_env, capture_output=True,
                                  text=True, timeout=timeout)
+            sys.stderr.write(res.stderr[-4000:])
             for line in reversed(res.stdout.strip().splitlines()):
                 if line.startswith("{"):
                     print(line)
                     return
-        except subprocess.TimeoutExpired:
+            print(f"[bench] attempt size={size} rc={res.returncode} "
+                  f"produced no JSON", file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired as e:
+            if e.stderr:
+                err = e.stderr if isinstance(e.stderr, str) else \
+                    e.stderr.decode(errors="replace")
+                sys.stderr.write(err[-4000:])
+            print(f"[bench] attempt size={size} timed out after {timeout}s",
+                  file=sys.stderr, flush=True)
             continue
     print(json.dumps({
         "metric": "genotype matvec Gvariant*samples/s/chip",
         "value": 0.0, "unit": "G visits/s", "vs_baseline": 0.0,
+        "path": "none", "backend": "unreachable", "cpu_fallback": True,
     }))
 
 
