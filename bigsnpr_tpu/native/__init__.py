@@ -17,13 +17,14 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
-_SRC = Path(__file__).parent / "io_native.cpp"
+_SRCS = [Path(__file__).parent / "io_native.cpp",
+         Path(__file__).parent / "ldsplit_native.cpp"]
 _SO = Path(__file__).parent / "_io_native.so"
 
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC",
-           str(_SRC), "-o", str(_SO), "-lz"]
+           *[str(s) for s in _SRCS], "-o", str(_SO), "-lz"]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         return res.returncode == 0
@@ -37,7 +38,8 @@ def get_lib():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    if (not _SO.exists()
+            or _SO.stat().st_mtime < max(s.stat().st_mtime for s in _SRCS)):
         if not _build():
             return None
     try:
@@ -59,6 +61,28 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
     ]
+    for name, argtypes in (
+        ("ldsplit_suffix", [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                            ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+                            ctypes.c_void_p]),
+        ("ldsplit_entries", [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                             ctypes.c_double, ctypes.c_void_p, ctypes.c_int,
+                             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                             ctypes.c_void_p, ctypes.c_void_p]),
+        ("ldsplit_group_rows", [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_void_p, ctypes.c_int64,
+                                ctypes.c_int64, ctypes.c_void_p,
+                                ctypes.c_void_p, ctypes.c_void_p]),
+        ("ldsplit_dp", [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.c_int64, ctypes.c_double, ctypes.c_void_p,
+                        ctypes.c_void_p, ctypes.c_void_p]),
+    ):
+        if hasattr(lib, name):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = argtypes
     _LIB = lib
     return _LIB
 
@@ -108,3 +132,63 @@ def bgen_decode_variants(file_bytes: bytes, offsets, comp_sizes, N,
     if rc != 0:
         return None
     return codes, info, freq
+
+
+def ldsplit_suffix(lower, thr_r2: float, max_r2: float):
+    """Per-column suffix sums of transformed r^2 (reference get_L,
+    src/split-LD.cpp:16-61); None if native lib unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ldsplit_suffix"):
+        return None
+    indptr = _as_i64(lower.indptr)
+    indices = _as_i64(lower.indices)
+    data = np.ascontiguousarray(lower.data, dtype=np.float64)
+    suff = np.empty(lower.nnz)
+    lib.ldsplit_suffix(indptr.ctypes.data, indices.ctypes.data,
+                       data.ctypes.data, lower.shape[0],
+                       thr_r2, max_r2, suff.ctypes.data)
+    return (indptr, indices, suff)
+
+
+def ldsplit_tables(suffix_tables, m, min_size, max_size, max_K, max_cost,
+                   pos_scaled):
+    """Block-cost entries + DP tables (reference get_C,
+    src/split-LD.cpp:66-145). Returns (C1_row0 (max_K,), best (m, max_K))
+    or None if native lib unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ldsplit_dp"):
+        return None
+    indptr, indices, suff = suffix_tables
+    pos_scaled = np.ascontiguousarray(pos_scaled, dtype=np.float64)
+
+    counts = np.zeros(m, dtype=np.int64)
+    lib.ldsplit_entries(indptr.ctypes.data, indices.ctypes.data,
+                        suff.ctypes.data, m, min_size, max_size, max_cost,
+                        pos_scaled.ctypes.data, 1, counts.ctypes.data,
+                        None, None, None, None)
+    total = int(counts.sum())
+    offsets = np.zeros(m, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    rows = np.empty(total, dtype=np.int32)
+    cols = np.empty(total, dtype=np.int32)
+    E = np.empty(total, dtype=np.float32)
+    lib.ldsplit_entries(indptr.ctypes.data, indices.ctypes.data,
+                        suff.ctypes.data, m, min_size, max_size, max_cost,
+                        pos_scaled.ctypes.data, 0, counts.ctypes.data,
+                        offsets.ctypes.data, rows.ctypes.data,
+                        cols.ctypes.data, E.ctypes.data)
+
+    row_ptr = np.empty(m + 1, dtype=np.int64)
+    cols2 = np.empty(total, dtype=np.int32)
+    E2 = np.empty(total, dtype=np.float32)
+    lib.ldsplit_group_rows(rows.ctypes.data, cols.ctypes.data, E.ctypes.data,
+                           total, m, row_ptr.ctypes.data, cols2.ctypes.data,
+                           E2.ctypes.data)
+
+    c1row0 = np.empty(max_K)
+    best = np.full((m, max_K), -1, dtype=np.int32)
+    lib.ldsplit_dp(row_ptr.ctypes.data, cols2.ctypes.data, E2.ctypes.data,
+                   m, min_size, max_size, max_K, max_cost,
+                   pos_scaled.ctypes.data, c1row0.ctypes.data,
+                   best.ctypes.data)
+    return c1row0, best

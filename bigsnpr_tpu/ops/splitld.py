@@ -154,21 +154,16 @@ def _get_C(L: sp.csc_matrix, min_size: int, max_size: int, max_K: int,
 
 def _get_perc(lower: sp.csc_matrix, all_last: np.ndarray) -> float:
     """Fraction of nonzero LD values inside the blocks
-    (reference get_perc, src/split-LD.cpp:150-182)."""
+    (reference get_perc, src/split-LD.cpp:150-182). Vectorized: each
+    entry is compared against its column's block limit."""
     m = lower.shape[0]
     Lp, Li = lower.indptr, lower.indices
     count_all = 2 * lower.nnz - m
-    count_within = count_all
     limits = np.asarray(all_last)  # last index (0-based) of each block
-    grp = 0
-    limit = limits[0]
-    for j in range(m):
-        if j > limit:
-            grp += 1
-            limit = limits[grp]
-        rows = Li[Lp[j]:Lp[j + 1]]
-        count_within -= 2 * int((rows > limit).sum())
-    return count_within / count_all
+    col_limit = limits[np.searchsorted(limits, np.arange(m))]
+    entry_limit = np.repeat(col_limit, np.diff(Lp))
+    outside = int((Li > entry_limit).sum())
+    return (count_all - 2 * outside) / count_all
 
 
 def snp_ldsplit(corr: SparseLD | sp.spmatrix, thr_r2: float, min_size: int,
@@ -189,15 +184,27 @@ def snp_ldsplit(corr: SparseLD | sp.spmatrix, thr_r2: float, min_size: int,
         max_cost = m / 200
     max_cost = min(max_cost, 2 * float(lower.data @ lower.data))
 
-    L = _get_L(lower, thr_r2=thr_r2, max_r2=max_r2)
+    # native C++/OpenMP tables when available (chromosome-scale speed);
+    # the numpy/jax fallback below is exact but interpreter-bound
+    from bigsnpr_tpu import native
+
+    suffix_tables = native.ldsplit_suffix(lower, thr_r2, max_r2)
+    L = (None if suffix_tables is not None
+         else _get_L(lower, thr_r2=thr_r2, max_r2=max_r2))
     prev_costs = np.full(max_K, np.inf)
 
     frames = []
     for one_max in np.sort(max_sizes):
-        C1, best = _get_C(L, min_size, int(one_max), max_K, max_cost,
-                          pos_scaled)
+        if suffix_tables is not None:
+            c1row0, best = native.ldsplit_tables(
+                suffix_tables, m, min_size, int(one_max), max_K, max_cost,
+                pos_scaled)
+        else:
+            C1, best = _get_C(L, min_size, int(one_max), max_K, max_cost,
+                              pos_scaled)
+            c1row0 = C1[0]
         for K in range(1, max_K + 1):
-            cost = C1[0, K - 1]
+            cost = c1row0[K - 1]
             if cost > max_cost or not (cost < prev_costs[K - 1]):
                 continue
             prev_costs[K - 1] = cost

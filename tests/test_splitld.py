@@ -139,3 +139,42 @@ def test_ldsplit_cost_is_exact():
         outside = np.not_equal.outer(blocks, blocks)
         cost_direct = (corr**2 * outside).sum() / 2  # each pair once
         np.testing.assert_allclose(row["cost"], cost_direct, rtol=1e-5)
+
+
+def test_ldsplit_native_matches_python_fallback(monkeypatch):
+    """The C++ tables (native/ldsplit_native.cpp) must agree with the
+    numpy/jax fallback exactly — same costs, same block boundaries."""
+    from bigsnpr_tpu import native
+
+    if native.get_lib() is None or not hasattr(native.get_lib(),
+                                               "ldsplit_dp"):
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(11)
+    m, W = 400, 25
+    corr = np.eye(m)
+    for j in range(m):
+        for i in range(max(0, j - W), j):
+            if rng.random() < 0.4:
+                corr[i, j] = corr[j, i] = rng.uniform(-0.8, 0.8)
+    S = sp.csc_matrix(corr)
+    pos = np.cumsum(rng.random(m)) / 100
+    kwargs = dict(thr_r2=0.02, min_size=5, max_size=(60, 120), max_K=40,
+                  max_r2=0.95, max_cost=np.inf, pos_scaled=pos)
+
+    res_native = snp_ldsplit(S, **kwargs)
+    monkeypatch.setattr(native, "ldsplit_suffix", lambda *a, **k: None)
+    res_py = snp_ldsplit(S, **kwargs)
+
+    assert res_native is not None and res_py is not None
+    assert len(res_native) == len(res_py)
+    for (_, a), (_, b) in zip(res_native.iterrows(), res_py.iterrows()):
+        assert a["n_block"] == b["n_block"]
+        # fallback DP accumulates via jax segment ops in f32; the C++
+        # tables are f64 -> tiny cost drift is expected
+        np.testing.assert_allclose(a["cost"], b["cost"], rtol=1e-5)
+        np.testing.assert_array_equal(a["all_last"], b["all_last"])
+        np.testing.assert_allclose(a["perc_kept"], b["perc_kept"],
+                                   rtol=1e-12)
