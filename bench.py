@@ -40,8 +40,8 @@ BASELINE_GVS = 10.0  # G genotype-visits/s, reference-class CPU estimate
 
 SIZES = {
     # name -> (m, n, l, iters); packed bytes = m * n / 4
-    "big": (131072, 16384, 8, 10),     # 512 MB packed
-    "mid": (65536, 8192, 8, 10),       # 128 MB packed
+    "big": (131072, 16384, 8, 30),     # 512 MB packed
+    "mid": (65536, 8192, 8, 30),       # 128 MB packed
     "cpu": (8192, 4096, 8, 3),
 }
 
@@ -73,26 +73,39 @@ def _measure(size_name):
     Q0 = jnp.asarray(rng.standard_normal((n, l)).astype(np.float32))
 
     def timeit(step, q0, iters):
+        # data-dependent chaining AND a host fetch of the final output:
+        # the tunnel's block_until_ready can return before remote
+        # execution finishes (measured 0.1 ms/iter for a 1 GB-touching
+        # step — impossible), but a device_get cannot lie. The fetched
+        # array is small (n x l); its one-time link latency is measured
+        # separately and subtracted.
         t0 = time.perf_counter()
         out = step(q0)
-        out.block_until_ready()
+        np.asarray(out)
         out = step(out)  # compile the chained form
-        out.block_until_ready()
+        np.asarray(out)
         log(f"compile+warmup {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        np.asarray(out)  # fetch-latency probe on a ready array
+        fetch_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step(out)
-        out.block_until_ready()
-        return (time.perf_counter() - t0) / iters
+        np.asarray(out)
+        return max(time.perf_counter() - t0 - fetch_s, 1e-9) / iters
 
     results = {}
 
     # ---- XLA path
+    # NOTE: packed/center/scale are jit ARGUMENTS, not closure constants —
+    # the axon tunnel ships closure constants inside the HLO to its
+    # remote_compile endpoint, which rejects >~0.5 GB bodies (HTTP 413)
+    # and can wedge the tunnel (round-1/2 postmortem).
     block = 4096
     nblocks = m // block
 
     @jax.jit
-    def xla_step(Q):
+    def xla_step_arg(packed, center, scale, Q):
         Q = Q[:, :l] * 1e-3
         pb = packed.reshape(nblocks, block, n // 4)
         cb = center.reshape(nblocks, block)
@@ -108,6 +121,9 @@ def _measure(size_name):
 
         acc, _ = jax.lax.scan(body, jnp.zeros((n, l), jnp.float32), (pb, cb, sb))
         return acc
+
+    def xla_step(Q):
+        return xla_step_arg(packed, center, scale, Q)
 
     try:
         dt_xla = timeit(xla_step, Q0, iters)
@@ -128,17 +144,28 @@ def _measure(size_name):
             inv_perm = jnp.asarray(np.argsort(perm))
             permj = jnp.asarray(perm)
 
-            @jax.jit
-            def pallas_step(Q):
+            from functools import partial
+
+            @partial(jax.jit, static_argnames=("tm",))
+            def pallas_step_arg(packed, csj, permj, inv_perm, Q, tm):
                 Qp = (Q[:, :l] * 1e-3).T[:, permj]      # (l, n) permuted
-                Zt = pk.pallas_cprod(packed, Qp, csj)   # (l, m)
-                Yt = pk.pallas_prod(packed, Zt, csj)    # (l, n) permuted
+                Zt = pk.pallas_cprod(packed, Qp, csj, tm=tm)   # (l, m)
+                Yt = pk.pallas_prod(packed, Zt, csj, tm=tm)    # (l, n)
                 return Yt[:, inv_perm].T
 
-            dt_p = timeit(pallas_step, Q0, iters)
-            results["gvs_pallas"] = round(2.0 * m * n / dt_p / 1e9, 2)
-            log(f"pallas: {dt_p*1e3:.1f} ms/iter -> "
-                f"{results['gvs_pallas']} GVS")
+            best_dt, best_tm = None, None
+            for tm in (512, 256):
+                def pallas_step(Q, tm=tm):
+                    return pallas_step_arg(packed, csj, permj, inv_perm,
+                                           Q, tm)
+
+                dt_p = timeit(pallas_step, Q0, iters)
+                log(f"pallas[tm={tm}]: {dt_p*1e3:.1f} ms/iter -> "
+                    f"{2.0*m*n/dt_p/1e9:.1f} GVS")
+                if best_dt is None or dt_p < best_dt:
+                    best_dt, best_tm = dt_p, tm
+            results["gvs_pallas"] = round(2.0 * m * n / best_dt / 1e9, 2)
+            results["pallas_tm"] = best_tm
         except Exception as e:  # noqa: BLE001 - reported, not swallowed
             log(f"pallas path FAILED: {type(e).__name__}: {e}")
             results["error_pallas"] = f"{type(e).__name__}: {e}"[:200]

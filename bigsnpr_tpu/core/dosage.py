@@ -71,7 +71,14 @@ class DosagePack:
         if path.suffix != ".dpk":
             path = path.with_suffix(".dpk")
         path.mkdir(parents=True, exist_ok=True)
-        np.asarray(self.codes).tofile(path / "codes.bin")
+        target = path / "codes.bin"
+        already_backed = (isinstance(self.codes, np.memmap)
+                          and Path(self.codes.filename).resolve()
+                          == target.resolve())
+        if already_backed:
+            self.codes.flush()  # streamed ingest wrote in place
+        else:
+            np.asarray(self.codes).tofile(target)
         np.save(path / "code256.npy", self.code256)
         (path / "meta.json").write_text(json.dumps(
             {"n": int(self.n), "m": int(self.m), "version": 1}))

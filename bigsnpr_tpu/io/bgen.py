@@ -155,10 +155,21 @@ def _read_variant(buf, offset, ind_row, dosage, N, rng):
 
 
 def snp_readBGEN(bgenfiles, list_snp_id, ind_row=None, bgi_dir=None,
-                 read_as: str = "dosage", backingfile=None, seed=None):
+                 read_as: str = "dosage", backingfile=None, seed=None,
+                 chunk_variants: int = 4096):
     """Read BGEN file(s) into a DosagePack (read_as='dosage') or
     hard-call GenoPack (read_as='random'). Returns the pack; its `map`
-    carries freq + INFO per variant (reference snp_readBGEN contract)."""
+    carries freq + INFO per variant (reference snp_readBGEN contract).
+
+    Streaming ingest (reference src/read-bgen.cpp:18-81 streams per
+    variant into the on-disk FBM): the BGEN file is memory-mapped (the
+    OS pages in only touched ranges — never the whole file in RAM) and
+    decoded `chunk_variants` at a time by the native OpenMP inflate pool;
+    each chunk is written straight into the backing store. A failure
+    mid-ingest removes the half-written store (reference R/read-bgen.R:191).
+    """
+    import mmap as mmap_mod
+
     if isinstance(bgenfiles, (str, Path)):
         bgenfiles = [bgenfiles]
     assert read_as in ("dosage", "random")
@@ -171,58 +182,74 @@ def snp_readBGEN(bgenfiles, list_snp_id, ind_row=None, bgi_dir=None,
     if ind_row is None:
         ind_row = np.arange(N)
     ind_row = np.asarray(ind_row)
+    n_sub = len(ind_row)
 
-    codes_list, infos = [], []
+    # pass 1: variant info from every .bgi (small), total row count
+    file_infos = []
     for ic, bgenfile in enumerate(bgenfiles):
         bgi = (Path(bgi_dir) / (Path(bgenfile).name + ".bgi")
                if bgi_dir else Path(str(bgenfile) + ".bgi"))
-        info = snp_readBGI(bgi, list_snp_id[ic])
-        buf = Path(bgenfile).read_bytes()
-        starts = [int(s) for s in info["file_start_position"]]
-        ids, geno_offs, comp_sizes = [], [], []
-        for start in starts:
-            vid, goff, csize = _parse_variant_header(buf, start, N)
-            ids.append(vid)
-            geno_offs.append(goff)
-            comp_sizes.append(csize)
+        file_infos.append(snp_readBGI(bgi, list_snp_id[ic]))
+    m_total = sum(len(fi) for fi in file_infos)
 
-        native = None
-        try:
-            from bigsnpr_tpu import native as native_mod
+    # output store: memmap into the .dpk directory when backed (bounded
+    # RAM), plain ndarray otherwise
+    store_dir = None
+    if backingfile is not None and dosage:
+        store_dir = Path(backingfile)
+        if store_dir.suffix != ".dpk":
+            store_dir = store_dir.with_suffix(".dpk")
+        store_dir.mkdir(parents=True, exist_ok=True)
+        codes = np.memmap(store_dir / "codes.bin", dtype=np.uint8,
+                          mode="w+", shape=(m_total, n_sub))
+    else:
+        codes = np.empty((m_total, n_sub), dtype=np.uint8)
 
-            native = native_mod.bgen_decode_variants(
-                buf, geno_offs, comp_sizes, N, ind_row, dosage,
-                seed=0 if seed is None else seed)
-        except Exception:
-            native = None
+    try:
+        from bigsnpr_tpu import native as native_mod
+    except Exception:
+        native_mod = None
 
-        if native is not None and dosage:
-            codes_arr, INFO, FREQ = native
-            codes_list.extend(codes_arr)
-            INFO, FREQ = list(INFO), list(FREQ)
-        else:
-            INFO, FREQ = [], []
-            for start in starts:
-                _, codes, inf, frq = _read_variant(
-                    buf, int(start), ind_row, dosage, N, rng)
-                INFO.append(inf)
-                FREQ.append(frq)
-                codes_list.append(codes)
-        infos.append(pd.DataFrame({
-            "chromosome": info["chromosome"],
-            "marker.ID": ids,
-            "rsid": info["rsid"],
-            "physical.pos": info["position"],
-            "allele1": info["allele1"],
-            "allele2": info["allele2"],
-            "freq": FREQ,
-            "info": INFO,
-        }))
+    infos = []
+    row0 = 0
+    try:
+        for ic, bgenfile in enumerate(bgenfiles):
+            info = file_infos[ic]
+            with open(bgenfile, "rb") as f:
+                buf = mmap_mod.mmap(f.fileno(), 0,
+                                    access=mmap_mod.ACCESS_READ)
+                try:
+                    ids, INFO, FREQ = _ingest_one_bgen(
+                        buf, info, codes, row0, ind_row, N, dosage,
+                        native_mod, rng, seed, chunk_variants)
+                finally:
+                    buf.close()
+            infos.append(pd.DataFrame({
+                "chromosome": info["chromosome"],
+                "marker.ID": ids,
+                "rsid": info["rsid"],
+                "physical.pos": info["position"],
+                "allele1": info["allele1"],
+                "allele2": info["allele2"],
+                "freq": FREQ,
+                "info": INFO,
+            }))
+            row0 += len(info)
+    except BaseException:
+        # half-written store cleanup (reference R/read-bgen.R:191)
+        if store_dir is not None:
+            import shutil
+
+            del codes
+            shutil.rmtree(store_dir, ignore_errors=True)
+        raise
 
     map_df = pd.concat(infos, ignore_index=True)
-    codes = np.stack(codes_list)  # (m, n_sub)
     if dosage:
-        pack = DosagePack(codes=codes, n=len(ind_row), map=map_df)
+        pack = DosagePack(codes=codes, n=n_sub, map=map_df)
+        if store_dir is not None:
+            codes.flush()
+            pack.save(store_dir)  # metadata next to the codes already there
     else:
         # codes 3 (missing), 4/5/6 -> hard calls
         d = np.full(codes.shape, np.nan)
@@ -230,10 +257,91 @@ def snp_readBGEN(bgenfiles, list_snp_id, ind_row=None, bgi_dir=None,
         d[codes == 5] = 1
         d[codes == 6] = 2
         pack = GenoPack(packed=up.np_pack_codes(up.np_dosage_to_codes(d)),
-                        n=len(ind_row), map=map_df)
-    if backingfile is not None and hasattr(pack, "save"):
-        pack.save(backingfile)
+                        n=n_sub, map=map_df)
+        if backingfile is not None:
+            pack.save(backingfile)
     return pack
+
+
+def _ingest_one_bgen(buf, info, codes_out, row0, ind_row, N, dosage,
+                     native_mod, rng, seed, chunk_variants):
+    """Decode one BGEN's selected variants chunk-by-chunk into codes_out.
+
+    Chunks are processed in file order (sequential reads) and written at
+    their original list positions."""
+    starts = np.asarray(info["file_start_position"], dtype=np.int64)
+    order = np.argsort(starts, kind="stable")
+    ids = [None] * len(starts)
+    INFO = np.full(len(starts), np.nan)
+    FREQ = np.full(len(starts), np.nan)
+
+    for c0 in range(0, len(order), chunk_variants):
+        sel = order[c0:c0 + chunk_variants]
+        geno_offs = np.empty(len(sel), dtype=np.int64)
+        comp_sizes = np.empty(len(sel), dtype=np.int64)
+        for j, i in enumerate(sel):
+            vid, goff, csize = _parse_variant_header(buf, int(starts[i]), N)
+            ids[i] = vid
+            geno_offs[j] = goff
+            comp_sizes[j] = csize
+
+        lo = int(geno_offs.min())
+        hi = int((geno_offs + comp_sizes).max())
+        chunk = bytes(buf[lo:hi])
+
+        decoded = None
+        if native_mod is not None and dosage:
+            try:
+                decoded = native_mod.bgen_decode_variants(
+                    chunk, geno_offs - lo, comp_sizes, N, ind_row, dosage,
+                    seed=0 if seed is None else seed)
+            except Exception:
+                decoded = None
+        if decoded is not None:
+            codes_k, info_k, freq_k = decoded
+            codes_out[row0 + sel] = codes_k
+            INFO[sel] = info_k
+            FREQ[sel] = freq_k
+        else:
+            for j, i in enumerate(sel):
+                _, ck, inf, frq = _read_variant_at(
+                    chunk, int(geno_offs[j] - lo), int(comp_sizes[j]),
+                    ind_row, dosage, N, rng)
+                codes_out[row0 + i] = ck
+                INFO[i] = inf
+                FREQ[i] = frq
+    return ids, INFO, FREQ
+
+
+def _read_variant_at(buf, geno_off, csize, ind_row, dosage, N, rng):
+    """Like _read_variant but starting at the genotype block (header
+    already parsed)."""
+    raw = zlib.decompress(buf[geno_off:geno_off + csize], bufsize=10 + 3 * N)
+    data = np.frombuffer(raw, dtype=np.uint8)
+    ploidy = data[8:8 + N]
+    probs = data[10 + N:10 + N + 2 * N].reshape(N, 2).astype(np.int64)
+    p0 = probs[ind_row, 0]
+    p1 = probs[ind_row, 1]
+    miss = ploidy[ind_row] >= 0x80
+
+    e = (2 * p0 + p1).astype(np.int64)
+    f = 4 * p0 + p1
+    nona = int((~miss).sum())
+    af = float(e[~miss].sum())
+    num = float((255 * f[~miss] - e[~miss] ** 2).sum())
+    coef = 255 * (2 * nona)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        info = 1 - num * 2 * nona / (af * (coef - af)) if af > 0 else np.nan
+    freq = 1 - af / coef if nona else np.nan
+
+    if dosage:
+        codes = DECODE_DOSAGE_CODE[e]
+    else:
+        first = rng.random(len(e)) * 255 - p0
+        codes = np.where(first < 0, 4,
+                         np.where(first < p1, 5, 6)).astype(np.uint8)
+    codes = np.where(miss, 3, codes).astype(np.uint8)
+    return None, codes, float(info), float(freq)
 
 
 def snp_prodBGEN(bgenfile, beta, list_snp_id, ind_row=None, bgi_dir=None,

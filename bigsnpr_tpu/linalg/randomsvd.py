@@ -43,6 +43,104 @@ def _orth(Y: np.ndarray) -> np.ndarray:
     return q
 
 
+def _device_krylov(op, n, m, k, l, tol, max_depth, seed, verbose):
+    """Fully device-resident block-Krylov loop.
+
+    The host loop in snp_randomSVD pulls (B, Y) to host every depth and
+    orthogonalizes in numpy — over a tunneled TPU each depth then costs
+    host-link latency (measured ~140 ms/step vs ~10 ms on-device). Here
+    the Krylov basis K, the cprod blocks M, and the Gram matrix G are
+    preallocated on device; one jitted step per depth does
+    re-orthogonalization, QR, the fused power step, and the Gram update.
+    Only the k Ritz values cross the link per depth (for the convergence
+    check); u/v are formed on device after convergence.
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    Lmax = l * max_depth
+    hp = jax.lax.Precision.HIGHEST
+
+    @partial(jax.jit, static_argnames=())
+    def init(key):
+        Y0 = jax.random.normal(key, (n, l), dtype=jnp.float32)
+        Q, _ = jnp.linalg.qr(Y0)
+        B, Y = op.power_dev(Q)
+        K = jnp.zeros((n, Lmax), jnp.float32)
+        M = jnp.zeros((m, Lmax), jnp.float32)
+        G = jnp.zeros((Lmax, Lmax), jnp.float32)
+        K = jax.lax.dynamic_update_slice(K, Q, (0, 0))
+        M = jax.lax.dynamic_update_slice(M, B, (0, 0))
+        C = jnp.dot(B.T, B, precision=hp)
+        G = jax.lax.dynamic_update_slice(G, C, (0, 0))
+        return K, M, G, Y
+
+    @jax.jit
+    def ritz(G, filled):
+        colmask = jnp.arange(Lmax) < filled
+        Gm = jnp.where(colmask[:, None] & colmask[None, :], G, 0.0)
+        evals = jnp.linalg.eigvalsh(Gm)
+        return jnp.sqrt(jnp.maximum(evals[::-1][:k], 0.0))
+
+    @jax.jit
+    def depth_step(K, M, G, Y, filled):
+        colmask = (jnp.arange(Lmax) < filled).astype(jnp.float32)
+        Km = K * colmask
+        for _ in range(2):
+            Y = Y - jnp.dot(Km, jnp.dot(Km.T, Y, precision=hp),
+                            precision=hp)
+        Q, _ = jnp.linalg.qr(Y)
+        # drop directions lost to the existing span: one more re-orth,
+        # then zero columns whose survived norm is negligible
+        Q = Q - jnp.dot(Km, jnp.dot(Km.T, Q, precision=hp), precision=hp)
+        norms = jnp.linalg.norm(Q, axis=0)
+        Q = jnp.where(norms > 1e-4, Q / jnp.maximum(norms, 1e-30), 0.0)
+        B, Y2 = op.power_dev(Q)
+        K2 = jax.lax.dynamic_update_slice(K, Q, (0, filled))
+        Mm = M * colmask
+        C = jnp.dot(Mm.T, B, precision=hp)              # (Lmax, l)
+        corner = jnp.dot(B.T, B, precision=hp)          # (l, l)
+        C = jax.lax.dynamic_update_slice(C, corner, (filled, 0))
+        G2 = jax.lax.dynamic_update_slice(G, C, (0, filled))
+        G2 = jax.lax.dynamic_update_slice(G2, C.T, (filled, 0))
+        M2 = jax.lax.dynamic_update_slice(M, B, (0, filled))
+        return K2, M2, G2, Y2
+
+    @jax.jit
+    def extract(K, M, G, filled):
+        colmask = jnp.arange(Lmax) < filled
+        Gm = jnp.where(colmask[:, None] & colmask[None, :], G, 0.0)
+        evals, W = jnp.linalg.eigh(Gm)
+        order = jnp.argsort(evals)[::-1][:k]
+        d = jnp.sqrt(jnp.maximum(evals[order], 0.0))
+        W = W[:, order] * colmask[:, None]
+        u = jnp.dot(K, W, precision=hp)
+        v = jnp.dot(M, W, precision=hp) / jnp.maximum(d, 1e-30)
+        return d, u, v
+
+    key = jax.random.PRNGKey(seed)
+    K, M, G, Y = init(key)
+    filled = jnp.asarray(l, jnp.int32)
+    d_prev = np.zeros(k)
+    niter = 0
+    for it in range(max_depth):
+        niter = it + 1
+        d_now = np.asarray(ritz(G, filled))
+        rel = np.max(np.abs(d_now - d_prev) / np.maximum(d_now, 1e-30))
+        if verbose:
+            print(f"  randomSVD[device] depth {niter}: rel {rel:.2e}")
+        if rel < tol or int(filled) + l > Lmax or int(filled) >= min(n, m):
+            break
+        d_prev = d_now
+        K, M, G, Y = depth_step(K, M, G, Y, filled)
+        filled = filled + l
+
+    d, u, v = extract(K, M, G, filled)
+    return (np.asarray(d, np.float64), np.asarray(u, np.float64),
+            np.asarray(v, np.float64), niter)
+
+
 def snp_randomSVD(
     pack,
     fun_scaling=bed_scaleBinom,
@@ -112,6 +210,19 @@ def snp_randomSVD(
             from bigsnpr_tpu.parallel.mesh import MeshOperator
 
             op = MeshOperator(sub, center, np.where(scale > 0, scale, 1.0))
+
+    l0 = min(k + oversample, min(n, m))
+    if (op is not None and hasattr(op, "power_dev")
+            and (engine == "device" or (on_tpu and engine != "host"))):
+        # on-chip Krylov: avoids per-depth host-link latency (the
+        # dominant cost over a tunneled TPU)
+        max_depth = max(2, min(max_iter, -(-min(n, m) // l0), 64))
+        d, u, v, niter = _device_krylov(op, n, m, k, l0, tol, max_depth,
+                                        seed, verbose)
+        signs = np.sign(u[np.argmax(np.abs(u), axis=0), np.arange(k)])
+        signs[signs == 0] = 1
+        return BigSVD(d=d, u=u * signs, v=v * signs, center=center,
+                      scale=scale, niter=niter)
 
     def cprod_fn(V):
         if op is not None:

@@ -183,11 +183,14 @@ class XlaOperator:
         return out[:, 0] if squeeze else out
 
     def power(self, V):
-        V, _ = self._as_2d(V)
-        B, Y = _xla_power_sub(
+        B, Y = self.power_dev(self._as_2d(V)[0])
+        return np.asarray(B), np.asarray(Y)
+
+    def power_dev(self, V):
+        """Device-resident power step (no host transfer)."""
+        return _xla_power_sub(
             self.packed, self.c, self.s, V, self.row_idx, self.col_idx,
             self.n_full, self.block, config.matmul_precision)
-        return np.asarray(B), np.asarray(Y)
 
 
 def _is_dosage(pack):

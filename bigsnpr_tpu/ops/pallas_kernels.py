@@ -247,8 +247,12 @@ class PallasOperator:
     def power(self, V):
         """One fused Krylov step: returns (X̃ᵀV, X̃X̃ᵀV) with a single
         host round-trip."""
-        V, _ = self._as_2d(V)
-        l_pad = V.shape[1] + (-V.shape[1]) % 8
-        B, Y = _power_sub(self.packed, self.cs, V, self.row_pos,
-                          self.col_idx, self.n_pad, l_pad, self.interpret)
+        B, Y = self.power_dev(self._as_2d(V)[0])
         return np.asarray(B), np.asarray(Y)
+
+    def power_dev(self, V):
+        """Device-resident power step: V (n, l) jnp -> (B, Y) jnp arrays,
+        no host transfer (for fully on-device Krylov drivers)."""
+        l_pad = V.shape[1] + (-V.shape[1]) % 8
+        return _power_sub(self.packed, self.cs, V, self.row_pos,
+                          self.col_idx, self.n_pad, l_pad, self.interpret)

@@ -1,18 +1,27 @@
-"""Block-parallel LDpred2 / lassosum2.
+"""Block-parallel LDpred2 / lassosum2 over ragged LD blocks.
 
 The reference's Gibbs/CD chains are strictly sequential over all m
 variants (src/ldpred2-auto.cpp:109-159) — the #1 hard part for a TPU port
 (SURVEY.md §7). When the LD matrix is block-diagonal (the recommended
 practice: snp_ldsplit blocks), variants in different blocks never
 interact through dotprods, so the sequential chain factorizes exactly:
-this module runs one `lax.scan` per block, `vmap`-ped across blocks, with
-the global hyper-parameter updates (p, h2, MLE) reduced across blocks
-between sweeps.
+one `lax.scan` per block, `vmap`-ped across blocks, with the global
+hyper-parameter updates (p, h2, MLE) reduced across blocks per sweep.
+
+Memory layout (round-2 redesign): blocks are **bucketed by shape** —
+each block keeps its own bandwidth W_b and is padded only to its
+bucket's (mb, 2W+1); buckets are separate arrays vmapped independently
+inside one jitted sweep. This removes the round-1 global-W dense band
+whose single long-range pair inflated every row (VERDICT missing #1):
+at HM3 scale the LD fits in a few GB instead of 12-24 GB.
 
 On a block-diagonal LD matrix the blocked samplers consume the same RNG
 layout and perform the same arithmetic as the unblocked chains (extra
 zero-adds only), so results agree to f32 round-off — tested. Sequential
-depth drops from m to max(block size).
+depth drops from m to max(block size). Cross-block LD entries (nonzero
+when `blocks` comes from snp_ldsplit with cost > 0) are dropped — the
+same approximation the reference recommends when making the SFBM
+block-diagonal from ldsplit output.
 """
 
 from __future__ import annotations
@@ -27,33 +36,74 @@ from bigsnpr_tpu.pgs.gibbs import _sweep_gibbs, _mle_alpha_profile, MIN_H2
 from bigsnpr_tpu.pgs.band import build_band
 
 
-def shard_blocked_arrays(bands, slot, mesh=None):
-    """Place the block-axis arrays on a device mesh ('v' axis): GSPMD then
-    partitions the vmapped per-block scans across chips and turns the
-    per-sweep global reductions (gap, nb_causal, h2, MLE sums) into
-    all-reduces over ICI — multi-chip LDpred2 without code changes.
+def _round_up(x: int, candidates=(8, 16, 32, 64, 128)) -> int:
+    """Round up to a small set of bucket sizes: powers of two up to 128,
+    then multiples of 128 (TPU lane width)."""
+    for c in candidates:
+        if x <= c:
+            return c
+    return -(-x // 128) * 128
 
-    Pads the block axis to a multiple of the device count (empty blocks
-    are all-padding slots and contribute nothing)."""
-    import jax
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    if mesh is None:
-        devs = np.asarray(jax.devices())
-        mesh = Mesh(devs, axis_names=("b",))
-    nd = mesh.devices.size
-    B = bands.shape[0]
-    pad = (-B) % nd
-    if pad:
-        bands = np.concatenate(
-            [bands, np.zeros((pad,) + bands.shape[1:], bands.dtype)], axis=0)
-    bands_s = jax.device_put(
-        jnp.asarray(bands), NamedSharding(mesh, P("b", None, None)))
-    return bands_s, jnp.asarray(slot), B + pad
+class BlockBands:
+    """Bucketed per-block banded LD.
+
+    Attributes
+    ----------
+    buckets : list of (bands, gidx) with
+        bands (Bk, mbk, 2Wk+1) float — band[b, j, Wk+d] = R[j, j+d] within
+        block b; gidx (Bk, mbk) int32 — global variant index of each slot,
+        -1 at padding.
+    m : total number of variants across blocks.
+    """
+
+    def __init__(self, buckets, m):
+        self.buckets = buckets
+        self.m = m
+
+    @property
+    def nbytes(self):
+        return sum(b.nbytes for b, _ in self.buckets)
+
+    def device_put(self, shard=False, mesh=None):
+        """Move bands to device; with shard=True partition each bucket's
+        block axis over a 1-D device mesh (GSPMD then runs per-block scans
+        on separate chips and all-reduces the per-sweep hyper-parameter
+        sums over ICI)."""
+        if not shard:
+            bands = tuple(jnp.asarray(b) for b, _ in self.buckets)
+        else:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            if mesh is None:
+                mesh = Mesh(np.asarray(jax.devices()), axis_names=("b",))
+            nd = mesh.devices.size
+            bands = []
+            for b, g in self.buckets:
+                pad = (-b.shape[0]) % nd
+                if pad:
+                    b = np.concatenate(
+                        [b, np.zeros((pad,) + b.shape[1:], b.dtype)], axis=0)
+                bands.append(jax.device_put(
+                    jnp.asarray(b), NamedSharding(mesh, P("b", None, None))))
+            bands = tuple(bands)
+        gidx = tuple(self._pad_gidx(bands[i].shape[0], i)
+                     for i in range(len(self.buckets)))
+        return bands, gidx
+
+    def _pad_gidx(self, Bk, i):
+        g = self.buckets[i][1]
+        if Bk > g.shape[0]:
+            g = np.concatenate(
+                [g, np.full((Bk - g.shape[0], g.shape[1]), -1, g.dtype)])
+        return jnp.asarray(g)
 
 
 def block_layout(block_sizes):
-    """(slot_of_global (m,), global_of_slot (B, mb), valid (B, mb))."""
+    """(slot_of_global (m,), global_of_slot (B, mb), valid (B, mb)).
+
+    Uniform layout helper kept for the dense single-bucket path and
+    tests; the samplers use BlockBands."""
     sizes = np.asarray(block_sizes, dtype=np.int64)
     B, mb = len(sizes), int(sizes.max())
     m = int(sizes.sum())
@@ -69,115 +119,221 @@ def block_layout(block_sizes):
 
 
 def build_block_bands(corr, block_sizes, ind_corr=None, dtype=np.float32):
-    """Per-block banded LD, padded to a common (B, mb, 2W+1)."""
+    """Per-block banded LD bucketed by (padded size, padded width).
+
+    Returns a BlockBands. Each block keeps its own bandwidth; blocks are
+    grouped so only a handful of array shapes get compiled."""
     sizes = np.asarray(block_sizes, dtype=np.int64)
     m2 = corr.shape[0]
     ind_corr = np.arange(m2) if ind_corr is None else np.asarray(ind_corr)
     assert sizes.sum() == len(ind_corr)
-    bands, Ws = [], []
+    per_block = []
     start = 0
     for sz in sizes:
         sub = corr.subset(ind_corr[start:start + sz])
         band, W = build_band(sub, dtype=dtype)
-        bands.append(band)
-        Ws.append(W)
+        per_block.append((band, W, start))
         start += sz
-    W = max(Ws)
-    B, mb = len(sizes), int(sizes.max())
-    out = np.zeros((B, mb, 2 * W + 1), dtype=dtype)
-    for b, band in enumerate(bands):
-        w = Ws[b]
-        out[b, :band.shape[0], W - w:W + w + 1] = band
-    return out, W
+
+    groups = {}
+    for band, W, gstart in per_block:
+        key = (_round_up(band.shape[0]), _round_up(2 * W + 1))
+        groups.setdefault(key, []).append((band, W, gstart))
+
+    buckets = []
+    for (mbk, wk), blocks_k in sorted(groups.items()):
+        Wk = (wk - 1) // 2
+        Bk = len(blocks_k)
+        bands = np.zeros((Bk, mbk, 2 * Wk + 1), dtype=dtype)
+        gidx = np.full((Bk, mbk), -1, dtype=np.int32)
+        for b, (band, W, gstart) in enumerate(blocks_k):
+            sz = band.shape[0]
+            bands[b, :sz, Wk - W:Wk + W + 1] = band
+            gidx[b, :sz] = gstart + np.arange(sz)
+        buckets.append((bands, gidx))
+    return BlockBands(buckets, int(sizes.sum()))
 
 
-def _scatter(vals, slot, B, mb, fill=0.0):
-    """(m,) -> (B, mb) with `fill` at padding slots."""
-    out = jnp.full((B * mb,), fill, dtype=vals.dtype)
-    return out.at[slot].set(vals).reshape(B, mb)
+def auto_blocks(corr, ind_corr=None, max_block: int = 4096,
+                thr_r2: float = 0.02, min_size: int = 32):
+    """Derive LD-block sizes for the blocked samplers.
+
+    1. Exact cuts: positions where no kept LD entry crosses — free and
+       lossless (the band's running max reach closes).
+    2. Oversized exact blocks are split with snp_ldsplit (dropping the
+       small cross-block r², the reference's recommended practice for
+       making LD block-diagonal before LDpred2-auto).
+    Returns an int array of block sizes summing to len(ind_corr).
+    """
+    from bigsnpr_tpu.ops.corr import SparseLD
+    from bigsnpr_tpu.ops.splitld import snp_ldsplit
+    import scipy.sparse as sp
+
+    m2 = corr.shape[0]
+    ind_corr = np.arange(m2) if ind_corr is None else np.asarray(ind_corr)
+    sub = corr.subset(ind_corr)
+    S = sub.sym().tocoo()
+    m = len(ind_corr)
+    # furthest right-neighbor per column
+    reach = np.zeros(m, dtype=np.int64)
+    np.maximum.at(reach, S.row, S.col)
+    np.maximum.at(reach, S.col, S.row)
+    reach = np.maximum(reach, np.arange(m))
+    run = np.maximum.accumulate(reach)
+    cuts = np.nonzero(run == np.arange(m))[0] + 1  # exact block ends
+    sizes = np.diff(np.r_[0, cuts])
+
+    out = []
+    start = 0
+    for sz in sizes:
+        if sz <= max_block:
+            out.append(int(sz))
+        else:
+            blk = sub.subset(np.arange(start, start + sz))
+            res = None
+            try:
+                res = snp_ldsplit(
+                    blk, thr_r2=thr_r2, min_size=min(min_size, sz),
+                    max_size=max_block,
+                    max_K=max(2, -(-sz // min(min_size, sz))),
+                    max_cost=np.inf, max_r2=1.0)
+            except Exception:
+                res = None
+            if res is not None:
+                best = res.iloc[int(np.argmin(res["cost"].to_numpy()))]
+                out.extend(int(s) for s in best["all_size"])
+            else:  # fall back to fixed slabs
+                nb = -(-sz // max_block)
+                slab = -(-sz // nb)
+                rem = sz
+                while rem > 0:
+                    out.append(int(min(slab, rem)))
+                    rem -= slab
+        start += sz
+    out = np.asarray(out, dtype=np.int64)
+    assert out.sum() == m
+    return out
 
 
-def _sweep_blocked(dp_pads, curr_beta, bands, beta_hat, C2, C4, sqrt1pC1,
-                   inv_odd_p, p, sparse, shrink_corr, no_jump_sign, u, z, W):
-    """vmap of the banded Gibbs sweep over blocks. All (B, mb[, .])."""
-    B, mb = beta_hat.shape
-    ind = jnp.broadcast_to(jnp.arange(mb, dtype=jnp.int32), (B, mb))
+# ---------------------------------------------------------------------------
+# scatter / gather between global (m,) vectors and bucket slots
+# ---------------------------------------------------------------------------
 
-    def one(dp_pad, cb, band, bh, c2, c4, s1, u_b, z_b):
-        return _sweep_gibbs(dp_pad, cb, band, ind[0], bh, c2, c4, s1,
-                            inv_odd_p, p, sparse, shrink_corr,
-                            no_jump_sign, u_b, z_b, W)
-
-    return jax.vmap(one)(dp_pads, curr_beta, bands, beta_hat, C2, C4,
-                         sqrt1pC1, u, z)
+def _scatter_b(vals, gidx, fill=0.0):
+    """(m,) global -> (Bk, mbk) bucket slots; `fill` at padding."""
+    valid = gidx >= 0
+    return jnp.where(valid, vals[jnp.clip(gidx, 0)], fill)
 
 
-@partial(jax.jit, static_argnames=("burn_in", "num_iter", "W", "m", "B", "mb"))
-def gibbs_one_blocked(bands, slot, beta_hat, n_vec, h2, p, sparse, key,
-                      burn_in, num_iter, W, m, B, mb):
-    """Block-parallel ldpred2_gibbs_one. beta_hat/n_vec are (m,) in global
-    order; `slot` maps global -> (B*mb) slots. Returns (m,) avg betas."""
+def _gather_set(out, vals, gidx):
+    """Write bucket values (Bk, mbk) into global (m,) at valid slots."""
+    m = out.shape[0]
+    safe = jnp.where(gidx >= 0, gidx, m).reshape(-1)
+    return out.at[safe].set(vals.reshape(-1), mode="drop")
+
+
+def _sweeps_bucketed(bands, gidx, dp_pads, curr_beta, consts, u, z,
+                     inv_odd_p, p, sparse, shrink_corr, no_jump_sign, m):
+    """One full Gibbs sweep over all buckets.
+
+    consts = (bh, C2, C4, s1) as global (m,) vectors; per-variant ys are
+    gathered back into global (m,) vectors, scalar aux summed."""
+    bh, C2, C4, s1 = consts
+    nb_g = jnp.zeros(m, bands[0].dtype)
+    postp_g = jnp.zeros(m, bands[0].dtype)
+    beta_g = jnp.zeros(m, bands[0].dtype)
+    dps_g = jnp.zeros(m, bands[0].dtype)
+    causal_g = jnp.zeros(m, bool)
+    gap = jnp.asarray(0.0, bands[0].dtype)
+    h2_inc = jnp.asarray(0.0, bands[0].dtype)
+    dp2 = []
+    for k, (bk, gk) in enumerate(zip(bands, gidx)):
+        Wk = (bk.shape[2] - 1) // 2
+        mbk = bk.shape[1]
+        ind = jnp.arange(mbk, dtype=jnp.int32)
+
+        def one(dp_pad, cb, band, bh_b, c2_b, c4_b, s1_b, u_b, z_b):
+            return _sweep_gibbs(dp_pad, cb, band, ind, bh_b, c2_b, c4_b,
+                                s1_b, inv_odd_p, p, sparse, shrink_corr,
+                                no_jump_sign, u_b, z_b, Wk)
+
+        dpk, nbk, aux = jax.vmap(one)(
+            dp_pads[k], _scatter_b(curr_beta, gk), bk,
+            _scatter_b(bh, gk), _scatter_b(C2, gk),
+            _scatter_b(C4, gk, 1.0), _scatter_b(s1, gk, 1.0),
+            _scatter_b(u, gk, 2.0), _scatter_b(z, gk))
+        gapk, causalk, h2k, postpk, betak, dpsk = aux
+        dp2.append(dpk)
+        nb_g = _gather_set(nb_g, nbk, gk)
+        postp_g = _gather_set(postp_g, postpk, gk)
+        beta_g = _gather_set(beta_g, betak, gk)
+        dps_g = _gather_set(dps_g, dpsk, gk)
+        causal_g = _gather_set(causal_g, causalk, gk)
+        gap = gap + jnp.sum(gapk)
+        h2_inc = h2_inc + jnp.sum(h2k)
+    return tuple(dp2), nb_g, (gap, causal_g, h2_inc, postp_g, beta_g, dps_g)
+
+
+def _dp0(bands):
+    return tuple(jnp.zeros((b.shape[0], b.shape[1] + b.shape[2] - 1),
+                           b.dtype) for b in bands)
+
+
+@partial(jax.jit, static_argnames=("burn_in", "num_iter", "m"))
+def gibbs_one_blocked(bands, gidx, beta_hat, n_vec, h2, p, sparse, key,
+                      burn_in, num_iter, m):
+    """Block-parallel ldpred2_gibbs_one. bands/gidx from
+    BlockBands.device_put(); beta_hat/n_vec are (m,) in global order.
+    Returns (m,) avg betas (NaN on divergence)."""
     h2_per_var = h2 / (m * p)
     inv_odd_p = (1 - p) / p
     C1 = h2_per_var * n_vec
-    C2g = 1.0 / (1.0 + 1.0 / C1)
-    C4g = C2g / n_vec
+    C2 = 1.0 / (1.0 + 1.0 / C1)
+    C4 = C2 / n_vec
+    s1 = jnp.sqrt(1 + C1)
     gap0 = 2.0 * jnp.sum(beta_hat**2)
-
-    bh = _scatter(beta_hat, slot, B, mb)
-    C2 = _scatter(C2g, slot, B, mb)
-    C4 = _scatter(C4g, slot, B, mb, fill=1.0)
-    s1 = _scatter(jnp.sqrt(1 + C1), slot, B, mb, fill=1.0)
+    consts = (beta_hat, C2, C4, s1)
 
     def body(k, state):
         dp_pads, curr_beta, avg_beta, diverged = state
 
         def run(_):
             ku, kz = jax.random.split(jax.random.fold_in(key, k))
-            u = _scatter(jax.random.uniform(ku, (m,), dtype=bands.dtype),
-                         slot, B, mb, fill=2.0)
-            z = _scatter(jax.random.normal(kz, (m,), dtype=bands.dtype),
-                         slot, B, mb)
-            dp2, nb, aux = _sweep_blocked(
-                dp_pads, curr_beta, bands, bh, C2, C4, s1,
-                inv_odd_p, p, sparse, 1.0, False, u, z, W)
-            gap = jnp.sum(aux[0])
-            beta_inc = aux[4]
+            u = jax.random.uniform(ku, (m,), dtype=beta_hat.dtype)
+            z = jax.random.normal(kz, (m,), dtype=beta_hat.dtype)
+            dp2, nb, aux = _sweeps_bucketed(
+                bands, gidx, dp_pads, curr_beta, consts, u, z,
+                inv_odd_p, p, sparse, 1.0, False, m)
+            gap, _, _, _, beta_inc, _ = aux
             post = k >= burn_in
             avg2 = avg_beta + jnp.where(post, beta_inc, 0.0)
             return dp2, nb, avg2, gap > gap0
 
         return jax.lax.cond(diverged, lambda _: state, run, operand=None)
 
-    dt = bands.dtype
-    state0 = (jnp.zeros((B, mb + 2 * W), dt), jnp.zeros((B, mb), dt),
-              jnp.zeros((B, mb), dt), False)
-    _, _, avg, diverged = jax.lax.fori_loop(0, burn_in + num_iter, body, state0)
-    out = (avg / num_iter).reshape(-1)[slot]
-    return jnp.where(diverged, jnp.nan, out)
+    dt = beta_hat.dtype
+    state0 = (_dp0(bands), jnp.zeros(m, dt), jnp.zeros(m, dt), False)
+    _, _, avg, diverged = jax.lax.fori_loop(0, burn_in + num_iter, body,
+                                            state0)
+    return jnp.where(diverged, jnp.nan, avg / num_iter)
 
 
 @partial(jax.jit,
-         static_argnames=("burn_in", "num_iter", "report_step", "W", "m",
-                          "B", "mb", "use_mle", "no_jump_sign"))
-def gibbs_auto_blocked(bands, slot, beta_hat, n_vec, log_var, p_init, h2_init,
+         static_argnames=("burn_in", "num_iter", "report_step", "m",
+                          "use_mle", "no_jump_sign"))
+def gibbs_auto_blocked(bands, gidx, beta_hat, n_vec, log_var, p_init, h2_init,
                        key, shrink_corr, p_bounds, alpha_bounds, mean_ld,
-                       burn_in, num_iter, W, m, B, mb,
+                       burn_in, num_iter, m,
                        report_step=None, use_mle=True, no_jump_sign=False):
     """Block-parallel ldpred2_gibbs_auto. Global (p, h2, MLE) updates are
-    cross-block reductions each sweep."""
+    cross-block reductions each sweep; all per-variant state is global."""
     gap0 = 2.0 * jnp.sum(beta_hat**2)
     num_iter_tot = burn_in + num_iter
     if report_step is None:
         report_step = num_iter + 1
     num_reports = num_iter // report_step if report_step <= num_iter else 0
 
-    bh = _scatter(beta_hat, slot, B, mb)
-    nv = _scatter(n_vec, slot, B, mb, fill=1.0)
-    lv = _scatter(log_var, slot, B, mb)
-    lv_flat = lv.reshape(-1)
-    bh_flat = bh.reshape(-1)
-
+    dt = beta_hat.dtype
     h2_0 = jnp.maximum(h2_init, MIN_H2)
     p_0 = jnp.clip(p_init, p_bounds[0], p_bounds[1])
 
@@ -187,22 +343,20 @@ def gibbs_auto_blocked(bands, slot, beta_hat, n_vec, log_var, p_init, h2_init,
 
         def run(_):
             inv_odd_p = (1 - p) / p
-            scale_freq = jnp.exp(par_alpha * lv) if use_mle else jnp.ones_like(lv)
-            C1 = scale_freq * par_sigma2 * nv
+            scale_freq = (jnp.exp(par_alpha * log_var) if use_mle
+                          else jnp.ones_like(log_var))
+            C1 = scale_freq * par_sigma2 * n_vec
             C2 = 1.0 / (1.0 + 1.0 / C1)
-            C4 = C2 / nv
+            C4 = C2 / n_vec
             s1 = jnp.sqrt(1 + C1)
 
             ku, kz, kp, kb = jax.random.split(jax.random.fold_in(key, k), 4)
-            u = _scatter(jax.random.uniform(ku, (m,), dtype=bands.dtype),
-                         slot, B, mb, fill=2.0)
-            z = _scatter(jax.random.normal(kz, (m,), dtype=bands.dtype),
-                         slot, B, mb)
-            dp2, nb, aux = _sweep_blocked(
-                dp_pads, curr_beta, bands, bh, C2, C4, s1,
-                inv_odd_p, p, False, shrink_corr, no_jump_sign, u, z, W)
+            u = jax.random.uniform(ku, (m,), dtype=dt)
+            z = jax.random.normal(kz, (m,), dtype=dt)
+            dp2, nb, aux = _sweeps_bucketed(
+                bands, gidx, dp_pads, curr_beta, (beta_hat, C2, C4, s1),
+                u, z, inv_odd_p, p, False, shrink_corr, no_jump_sign, m)
             gap, causal, h2_inc, postp_inc, beta_inc, dps = aux
-            gap = jnp.sum(gap)
             div2 = gap > gap0
 
             post = k >= burn_in
@@ -212,18 +366,16 @@ def gibbs_auto_blocked(bands, slot, beta_hat, n_vec, log_var, p_init, h2_init,
 
             nb_causal = jnp.sum(causal)
             p2 = jax.random.beta(kp, 1 + nb_causal / mean_ld,
-                                 1 + (m - nb_causal) / mean_ld,
-                                 dtype=bands.dtype)
+                                 1 + (m - nb_causal) / mean_ld, dtype=dt)
             p2 = jnp.clip(p2, p_bounds[0], p_bounds[1])
-            h2_est2 = cur_h2_est + jnp.sum(h2_inc)
+            h2_est2 = cur_h2_est + h2_inc
             h2 = jnp.maximum(h2_est2, MIN_H2)
 
             if use_mle:
-                wts = jax.random.poisson(kb, 1.0, (B * mb,)).astype(bands.dtype)
-                wts = wts * causal.reshape(-1)
+                wts = jax.random.poisson(kb, 1.0, (m,)).astype(dt) * causal
                 pa, ps = _mle_alpha_profile(
-                    par_alpha, par_sigma2, wts, lv_flat,
-                    nb.reshape(-1) ** 2, alpha_bounds)
+                    par_alpha, par_sigma2, wts, log_var, nb * nb,
+                    alpha_bounds)
             else:
                 pa, ps = par_alpha, h2 / (m * p2)
 
@@ -238,7 +390,7 @@ def gibbs_auto_blocked(bands, slot, beta_hat, n_vec, log_var, p_init, h2_init,
                     do_rep,
                     lambda s: jax.lax.dynamic_update_slice(
                         s, jnp.where(causal, nb, 0.0)[None],
-                        (jnp.clip(rep_idx, 0, num_reports - 1), 0, 0)),
+                        (jnp.clip(rep_idx, 0, num_reports - 1), 0)),
                     lambda s: s, samples)
             else:
                 samples2 = samples
@@ -248,52 +400,48 @@ def gibbs_auto_blocked(bands, slot, beta_hat, n_vec, log_var, p_init, h2_init,
 
         return jax.lax.cond(diverged, lambda _: state, run, operand=None)
 
-    dt = bands.dtype
     state0 = (
-        jnp.zeros((B, mb + 2 * W), dt), jnp.zeros((B, mb), dt), p_0,
+        _dp0(bands), jnp.zeros(m, dt), p_0,
         jnp.asarray(0.0, dt), jnp.asarray(0.0, dt), h2_0 / (m * p_0),
-        jnp.zeros((B, mb), dt), jnp.zeros((B, mb), dt), jnp.zeros((B, mb), dt),
-        jnp.zeros((max(num_reports, 1), B, mb), dt),
+        jnp.zeros(m, dt), jnp.zeros(m, dt), jnp.zeros(m, dt),
+        jnp.zeros((max(num_reports, 1), m), dt),
         jnp.full((3, num_iter_tot), jnp.nan, dt), False,
     )
     (_, _, _, _, _, _, avg_postp, avg_beta, avg_bhat, samples, paths,
      diverged) = jax.lax.fori_loop(0, num_iter_tot, body, state0)
 
     nan = jnp.where(diverged, jnp.nan, 0.0)
-
-    def g(x):
-        return x.reshape(-1)[slot] / num_iter + nan
-
     return {
-        "beta_est": g(avg_beta),
-        "postp_est": g(avg_postp),
-        "corr_est": g(avg_bhat),
-        "sample_beta": samples.reshape(samples.shape[0], -1)[:, slot],
+        "beta_est": avg_beta / num_iter + nan,
+        "postp_est": avg_postp / num_iter + nan,
+        "corr_est": avg_bhat / num_iter + nan,
+        "sample_beta": samples,
         "path_p_est": paths[0], "path_h2_est": paths[1],
         "path_alpha_est": paths[2],
     }
 
 
-@partial(jax.jit, static_argnames=("maxiter", "W", "m", "B", "mb"))
-def lassosum_cd_blocked(bands, slot, beta_hat, lam, delta_plus_one,
-                        dfmax, tol, maxiter, W, m, B, mb):
+@partial(jax.jit, static_argnames=("maxiter", "m"))
+def lassosum_cd_blocked(bands, gidx, beta_hat, lam, delta_plus_one,
+                        dfmax, tol, maxiter, m):
     """Block-parallel lassosum2 CD; identical to the unblocked kernel on
     block-diagonal LD (deterministic)."""
     gap0 = 2.0 * jnp.sum(beta_hat**2)
-    bh = _scatter(beta_hat, slot, B, mb)
-    lm = _scatter(lam, slot, B, mb, fill=1.0)
-    dp1 = _scatter(delta_plus_one, slot, B, mb, fill=1.0)
-    ind = jnp.arange(mb, dtype=jnp.int32)
+    dt = beta_hat.dtype
 
-    def sweep_one(dp_pad, cb, band, bh_b, lam_b, dp1_b):
+    def sweep_bucket(dp_pad, cb, band, bh_b, lam_b, dp1_b, Wk):
+        mbk = band.shape[0]
+        ind = jnp.arange(mbk, dtype=jnp.int32)
+
         def step(carry, xs):
             dp_pad, gap, df, maxshift = carry
             j2, bh_j, lam_j, dp1_j, band_row, cb_j = xs
             width = band_row.shape[0]
             dp_slice = jax.lax.dynamic_slice(dp_pad, (j2,), (width,))
-            u_j = bh_j - (dp_slice[W] - cb_j)
+            u_j = bh_j - (dp_slice[Wk] - cb_j)
             nm = jnp.where(u_j > 0, u_j - lam_j, u_j + lam_j)
             new_beta = jnp.where(u_j * nm > 0, nm / dp1_j, 0.0)
+            new_beta = jnp.where(jnp.abs(u_j) > lam_j, new_beta, 0.0)
             shift = new_beta - cb_j
             dp_pad = jax.lax.dynamic_update_slice(
                 dp_pad, dp_slice + shift * band_row, (j2,))
@@ -303,7 +451,9 @@ def lassosum_cd_blocked(bands, slot, beta_hat, lam, delta_plus_one,
             return (dp_pad, gap, df, maxshift), new_beta
 
         xs = (ind, bh_b, lam_b, dp1_b, band, cb)
-        (dp2, gap, df, ms), nb = jax.lax.scan(step, (dp_pad, 0.0, 0, 0.0), xs)
+        (dp2, gap, df, ms), nb = jax.lax.scan(
+            step, (dp_pad, jnp.asarray(0.0, dt), 0, jnp.asarray(0.0, dt)),
+            xs)
         return dp2, nb, gap, df, ms
 
     def cond(state):
@@ -312,18 +462,27 @@ def lassosum_cd_blocked(bands, slot, beta_hat, lam, delta_plus_one,
 
     def body(state):
         dp_pads, curr_beta, k, done, diverged = state
-        dp2, nb, gap, df, ms = jax.vmap(sweep_one)(
-            dp_pads, curr_beta, bands, bh, lm, dp1)
-        gap = jnp.sum(gap)
-        df = jnp.sum(df)
-        maxshift = jnp.max(ms)
+        nb_g = jnp.zeros(m, dt)
+        gap = jnp.asarray(0.0, dt)
+        df = 0
+        maxshift = jnp.asarray(0.0, dt)
+        dp2 = []
+        for i, (bk, gk) in enumerate(zip(bands, gidx)):
+            Wk = (bk.shape[2] - 1) // 2
+            dpk, nbk, gapk, dfk, msk = jax.vmap(
+                lambda a, b, c, d, e, f: sweep_bucket(a, b, c, d, e, f, Wk)
+            )(dp_pads[i], _scatter_b(curr_beta, gk), bk,
+              _scatter_b(beta_hat, gk), _scatter_b(lam, gk, 1.0),
+              _scatter_b(delta_plus_one, gk, 1.0))
+            dp2.append(dpk)
+            nb_g = _gather_set(nb_g, nbk, gk)
+            gap = gap + jnp.sum(gapk)
+            df = df + jnp.sum(dfk)
+            maxshift = jnp.maximum(maxshift, jnp.max(msk))
         div2 = gap > gap0
         done2 = (maxshift <= tol) | (df > dfmax) | div2
-        return dp2, nb, k + 1, done2, div2
+        return tuple(dp2), nb_g, k + 1, done2, div2
 
-    dt = bands.dtype
-    state0 = (jnp.zeros((B, mb + 2 * W), dt), jnp.zeros((B, mb), dt),
-              0, False, False)
+    state0 = (_dp0(bands), jnp.zeros(m, dt), 0, False, False)
     _, beta, k, _, diverged = jax.lax.while_loop(cond, body, state0)
-    out = beta.reshape(-1)[slot]
-    return jnp.where(diverged, jnp.nan, out), k
+    return jnp.where(diverged, jnp.nan, beta), k

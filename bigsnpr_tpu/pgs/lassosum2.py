@@ -46,13 +46,10 @@ def _lassosum2_impl(corr, beta_hat, N, scale, delta, nlambda,
         band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(
             corr, beta_hat, N, ind_corr, dtype=dt)
     else:
-        from bigsnpr_tpu.pgs import gibbs_blocked as gb
+        from bigsnpr_tpu.pgs.ldpred2 import _blocked_setup
 
-        blocks_arr = np.asarray(blocks, dtype=np.int64)
-        bands, Wb = gb.build_block_bands(corr, blocks_arr, ind_corr=ind_corr,
-                                         dtype=dt)
-        slot, _, _ = gb.block_layout(blocks_arr)
-        B, mb = bands.shape[0], bands.shape[1]
+        gb, bands, gidx, m = _blocked_setup(corr, blocks, ind_corr, dt)
+        assert m == len(beta_hat)
 
     pf = np.sqrt(np.max(N) / N)
     lambda0 = np.max(np.abs(beta_hat / pf))
@@ -73,15 +70,13 @@ def _lassosum2_impl(corr, beta_hat, N, scale, delta, nlambda,
                 maxiter=maxiter, W=W, m2=m2),
             in_axes=(0, 0))
     else:
-        from bigsnpr_tpu.pgs.gibbs_blocked import lassosum_cd_blocked
-
         bhj = jnp.asarray(beta_hat, dt)
         run = jax.vmap(
-            lambda lam, dlt: lassosum_cd_blocked(
-                jnp.asarray(bands), jnp.asarray(slot), bhj,
+            lambda lam, dlt: gb.lassosum_cd_blocked(
+                bands, gidx, bhj,
                 pf_j * lam, pf_j * dlt + 1.0,
                 jnp.asarray(dfmax, dt), jnp.asarray(tol, dt),
-                maxiter=maxiter, W=Wb, m=len(beta_hat), B=B, mb=mb),
+                maxiter=maxiter, m=len(beta_hat)),
             in_axes=(0, 0))
     betas, iters = run(jnp.asarray(lam_grid, dtype=dt),
                        jnp.asarray(del_grid, dtype=dt))

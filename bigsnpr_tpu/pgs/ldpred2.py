@@ -57,6 +57,24 @@ def snp_ldpred2_inf(corr: SparseLD, df_beta, h2: float) -> np.ndarray:
     return beta_inf * scale
 
 
+def _blocked_setup(corr, blocks, ind_corr, dt, shard=False):
+    """Build the bucketed block bands for the blocked samplers.
+
+    blocks: array of block sizes, or "auto" to derive them — exact
+    independence cuts from the LD structure, oversized blocks split via
+    snp_ldsplit (the reference's recommended practice of making the LD
+    block-diagonal, vignettes/LDpred2.Rmd)."""
+    from bigsnpr_tpu.pgs import gibbs_blocked as gb
+
+    if isinstance(blocks, str):
+        assert blocks == "auto", f"unknown blocks mode {blocks!r}"
+        blocks = gb.auto_blocks(corr, ind_corr=ind_corr)
+    blocks_arr = np.asarray(blocks, dtype=np.int64)
+    bb = gb.build_block_bands(corr, blocks_arr, ind_corr=ind_corr, dtype=dt)
+    bands, gidx = bb.device_put(shard=shard)
+    return gb, bands, gidx, bb.m
+
+
 def _prep_sampler(corr, beta_hat, N, ind_corr, dtype=np.float32):
     band, W = build_band(corr, dtype=dtype)
     m2 = corr.shape[0]
@@ -124,15 +142,8 @@ def _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in, num_iter,
                   ind_corr, seed, blocks, dt=np.float32):
     """Block-parallel grid sampler (LD must be block-diagonal w.r.t.
     `blocks`, e.g. from snp_ldsplit): sequential depth = max block size."""
-    import jax
-    import jax.numpy as jnp
-    from bigsnpr_tpu.pgs import gibbs_blocked as gb
-
-    blocks = np.asarray(blocks, dtype=np.int64)
-    bands, W = gb.build_block_bands(corr, blocks, ind_corr=ind_corr, dtype=dt)
-    slot, _, _ = gb.block_layout(blocks)
-    B, mb = bands.shape[0], bands.shape[1]
-    m = len(beta_hat)
+    gb, bands, gidx, m = _blocked_setup(corr, blocks, ind_corr, dt)
+    assert m == len(beta_hat)
 
     p_grid = np.atleast_1d(np.asarray(grid_param["p"], dtype=np.float64))
     h2_grid = np.atleast_1d(np.asarray(grid_param["h2"], dtype=np.float64))
@@ -140,10 +151,9 @@ def _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in, num_iter,
     keys = jax.random.split(jax.random.PRNGKey(seed), len(p_grid))
     run = jax.vmap(
         lambda h2, p, sprs, k: gb.gibbs_one_blocked(
-            jnp.asarray(bands), jnp.asarray(slot),
+            bands, gidx,
             jnp.asarray(beta_hat, dt), jnp.asarray(N, dt),
-            h2, p, sprs, k, burn_in=burn_in, num_iter=num_iter,
-            W=W, m=m, B=B, mb=mb),
+            h2, p, sprs, k, burn_in=burn_in, num_iter=num_iter, m=m),
         in_axes=(0, 0, 0, 0))
     out = run(jnp.asarray(h2_grid, dt), jnp.asarray(p_grid, dt),
               jnp.asarray(sp_grid), keys)
@@ -204,22 +214,12 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
     keys = jax.random.split(key, len(vec_p_init))
 
     if blocks is not None:
-        from bigsnpr_tpu.pgs import gibbs_blocked as gb
-
-        blocks_arr = np.asarray(blocks, dtype=np.int64)
-        bands, Wb = gb.build_block_bands(corr, blocks_arr, ind_corr=ind_corr,
-                                         dtype=dt)
-        slot, _, _ = gb.block_layout(blocks_arr)
-        if shard_blocks:
-            bands_dev, slot_dev, B = gb.shard_blocked_arrays(bands, slot)
-        else:
-            bands_dev, slot_dev, B = (jnp.asarray(bands), jnp.asarray(slot),
-                                      bands.shape[0])
-        mb = bands.shape[1]
-        m = len(beta_hat)
+        gb, bands, gidx, m = _blocked_setup(corr, blocks, ind_corr, dt,
+                                            shard=shard_blocks)
+        assert m == len(beta_hat)
         runb = jax.vmap(
             lambda p0, k: gb.gibbs_auto_blocked(
-                bands_dev, slot_dev,
+                bands, gidx,
                 jnp.asarray(beta_hat, dt),
                 jnp.asarray(N, dt),
                 jnp.asarray(log_var, dt),
@@ -228,7 +228,7 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
                 jnp.asarray(p_bounds, dtype=dt),
                 jnp.asarray(np.asarray(alpha_bounds) + 1, dtype=dt),
                 jnp.asarray(mean_ld, dt),
-                burn_in=burn_in, num_iter=num_iter, W=Wb, m=m, B=B, mb=mb,
+                burn_in=burn_in, num_iter=num_iter, m=m,
                 report_step=report_step, use_mle=use_MLE,
                 no_jump_sign=not allow_jump_sign),
             in_axes=(0, 0))

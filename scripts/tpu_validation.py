@@ -125,6 +125,11 @@ def main(quick=False, sweep=False):
     dt_blk = time.perf_counter() - t0
     print(f"Gibbs block-parallel ({nb} blocks): {dt_blk:.1f}s "
           f"({dt_seq/dt_blk:.1f}x)")
+    t0 = time.perf_counter()
+    snp_ldpred2_grid(corr, df, grid1, burn_in=10, num_iter=10, blocks=blocks)
+    dt_blk2 = time.perf_counter() - t0
+    print(f"Gibbs block-parallel warm (excl. band build + compile): "
+          f"{dt_blk2:.1f}s ({20*mg/dt_blk2/1e3:.0f} steps/ms)")
 
     # 5. snp_cor device compaction
     from bigsnpr_tpu.ops.corr import snp_cor

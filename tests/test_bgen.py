@@ -193,3 +193,62 @@ def test_prod_bgen_device_engine(bgen_files, oracles):
                        block_size=7)  # force multi-block accumulation
     np.testing.assert_allclose(dev, host, rtol=5e-6, atol=5e-6,
                                equal_nan=True)
+
+
+def test_streaming_chunked_matches_whole(bgen_files, oracles):
+    """chunk_variants=3 (many chunks, unordered write-back) == one chunk."""
+    from bigsnpr_tpu.io.bgen import snp_readBGEN
+
+    variants, _, _ = oracles
+    IDs = [f"1_{p}_{a1}_{a2}" for p, a1, a2 in zip(
+        variants["physical.pos"], variants["allele1"], variants["allele2"])]
+    a = snp_readBGEN(bgen_files, [IDs])
+    b = snp_readBGEN(bgen_files, [IDs], chunk_variants=3)
+    np.testing.assert_array_equal(a.codes, b.codes)
+    np.testing.assert_allclose(a.map["info"], b.map["info"],
+                               equal_nan=True)
+
+
+def test_streaming_backingfile_memmap(bgen_files, oracles, tmp_path):
+    """Backed ingest writes incrementally into the .dpk store; reload
+    round-trips."""
+    from bigsnpr_tpu.core.dosage import DosagePack
+    from bigsnpr_tpu.io.bgen import snp_readBGEN
+
+    variants, _, _ = oracles
+    IDs = [f"1_{p}_{a1}_{a2}" for p, a1, a2 in zip(
+        variants["physical.pos"], variants["allele1"], variants["allele2"])]
+    store = tmp_path / "ex.dpk"
+    pack = snp_readBGEN(bgen_files, [IDs], backingfile=store,
+                        chunk_variants=5)
+    assert isinstance(pack.codes, np.memmap)
+    re = DosagePack.load(store)
+    np.testing.assert_array_equal(np.asarray(re.codes),
+                                  np.asarray(pack.codes))
+    np.testing.assert_allclose(re.map["freq"], pack.map["freq"],
+                               equal_nan=True)
+
+
+def test_streaming_halfwritten_cleanup(bgen_files, oracles, tmp_path,
+                                       monkeypatch):
+    """A failure mid-ingest removes the half-written store (reference
+    R/read-bgen.R:191)."""
+    import bigsnpr_tpu.io.bgen as bgen_mod
+
+    variants, _, _ = oracles
+    IDs = [f"1_{p}_{a1}_{a2}" for p, a1, a2 in zip(
+        variants["physical.pos"], variants["allele1"], variants["allele2"])]
+    store = tmp_path / "boom.dpk"
+
+    calls = {"k": 0}
+    orig = bgen_mod._ingest_one_bgen
+
+    def exploding(*a, **kw):
+        calls["k"] += 1
+        raise RuntimeError("disk on fire")
+
+    monkeypatch.setattr(bgen_mod, "_ingest_one_bgen", exploding)
+    with pytest.raises(RuntimeError):
+        bgen_mod.snp_readBGEN(bgen_files, [IDs], backingfile=store)
+    assert calls["k"] == 1
+    assert not store.exists()

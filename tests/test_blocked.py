@@ -43,11 +43,42 @@ def test_layout():
 
 def test_build_block_bands(blockdiag):
     corr, _, sizes = blockdiag
-    bands, W = build_block_bands(corr, sizes)
-    assert bands.shape[0] == 4 and bands.shape[1] == sizes.max()
-    # center diagonal is 1 for real variants
-    for b, sz in enumerate(sizes):
-        np.testing.assert_allclose(bands[b, :sz, W], 1.0, rtol=1e-6)
+    bb = build_block_bands(corr, sizes)
+    assert bb.m == sizes.sum()
+    seen = []
+    for bands, gidx in bb.buckets:
+        W = (bands.shape[2] - 1) // 2
+        valid = gidx >= 0
+        # center diagonal is 1 for real variants, 0 at padding
+        np.testing.assert_allclose(bands[..., W][valid], 1.0, rtol=1e-6)
+        assert (bands[..., W][~valid] == 0).all()
+        seen.extend(gidx[valid].tolist())
+    np.testing.assert_array_equal(np.sort(seen), np.arange(bb.m))
+
+
+def test_auto_blocks_exact_cuts():
+    """auto_blocks finds the exact independence cut points."""
+    from bigsnpr_tpu.pgs.gibbs_blocked import auto_blocks
+
+    rng = np.random.default_rng(3)
+    mats = [np.corrcoef(np.cumsum(rng.normal(size=(s, s + 20)), axis=0))
+            for s in (30, 50, 20)]
+    full = sp.block_diag(mats).tocsc()
+    corr = SparseLD(upper=sp.triu(full).tocsc())
+    sizes = auto_blocks(corr, max_block=4096)
+    np.testing.assert_array_equal(sizes, [30, 50, 20])
+    # oversized exact blocks get split further
+    sizes2 = auto_blocks(corr, max_block=40, min_size=5)
+    assert sizes2.sum() == 100 and sizes2.max() <= 40
+
+
+def test_blocks_auto_end_to_end(blockdiag):
+    corr, df_beta, sizes = blockdiag
+    grid = {"p": [0.2], "h2": [0.3], "sparse": [False]}
+    out_seq = snp_ldpred2_grid(corr, df_beta, grid, burn_in=30, num_iter=50)
+    out_auto = snp_ldpred2_grid(corr, df_beta, grid, burn_in=30, num_iter=50,
+                                blocks="auto")
+    np.testing.assert_allclose(out_auto, out_seq, rtol=2e-3, atol=1e-7)
 
 
 def test_lassosum_blocked_exact(blockdiag):

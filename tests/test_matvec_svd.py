@@ -76,6 +76,34 @@ def test_randomsvd_vs_dense(pack):
         assert c > 0.999, f"PC{j}: |cos| = {c}"
 
 
+def test_randomsvd_device_engine(pack):
+    """Fully on-device Krylov (the TPU path) == dense oracle; exercised
+    on CPU via engine="device"."""
+    sc = bed_scaleBinom(pack)
+    Xt = dense_standardized(pack, sc["center"], sc["scale"])
+    u_d, s_d, _ = np.linalg.svd(Xt, full_matrices=False)
+    res = snp_randomSVD(pack, k=6, tol=1e-6, engine="device")
+    np.testing.assert_allclose(res.d, s_d[:6], rtol=1e-3)
+    for j in range(6):
+        c = abs(np.dot(res.u[:, j], u_d[:, j]))
+        assert c > 0.995, f"PC{j}: |cos| = {c}"
+
+
+def test_randomsvd_device_masked(pack):
+    """device engine with ind_row/ind_col == host engine on the subset."""
+    rng = np.random.default_rng(5)
+    ind_row = np.sort(rng.choice(pack.n, 60, replace=False))
+    ind_col = np.sort(rng.choice(pack.m, 150, replace=False))
+    a = snp_randomSVD(pack, k=4, tol=1e-6, engine="device",
+                      ind_row=ind_row, ind_col=ind_col)
+    b = snp_randomSVD(pack, k=4, tol=1e-6,
+                      ind_row=ind_row, ind_col=ind_col)
+    np.testing.assert_allclose(a.d, b.d, rtol=1e-3)
+    for j in range(4):
+        c = abs(np.dot(a.u[:, j], b.u[:, j]))
+        assert c > 0.99, f"PC{j}: |cos| = {c}"
+
+
 def test_randomsvd_example(example_pack):
     """configs[0] slice: example.bed K=10 PC parity vs dense oracle."""
     sc = bed_scaleBinom(example_pack)
