@@ -153,6 +153,7 @@ def snp_randomSVD(
     seed: int = 1,
     verbose: bool = False,
     engine: str = "auto",
+    op=None,
 ) -> BigSVD:
     """Truncated SVD of the standardized genotype matrix.
 
@@ -161,15 +162,25 @@ def snp_randomSVD(
 
     engine: "auto" uses the fused Pallas operator on TPU for 2-bit packs,
     the XLA blocked path otherwise.
+    op: a pre-built operator with the {n, m, cprod, prod[, power]}
+    surface (e.g. a multi-host MeshOperator from
+    parallel.distributed.distributed_binom_operator); pack may be None
+    and fun_scaling must then be a {"center","scale"} dict.
     """
     import jax
 
     full = ind_col is None and ind_row is None
-    has_pack = hasattr(pack, "packed") and hasattr(pack, "device_packed_padded")
+    has_pack = (op is None and hasattr(pack, "packed")
+                and hasattr(pack, "device_packed_padded"))
     on_tpu = jax.default_backend() == "tpu"
     want_mesh = engine == "mesh" or (engine == "auto" and on_tpu
                                      and len(jax.devices()) > 1)
-    op = sub = None
+    sub = None
+    if op is not None:
+        sc = fun_scaling(op) if callable(fun_scaling) else fun_scaling
+        center = np.asarray(sc["center"], dtype=np.float64)
+        scale = np.asarray(sc["scale"], dtype=np.float64)
+        n, m = op.n, op.m
 
     if has_pack and not want_mesh:
         # Masked-subset path: the packed bytes stay whole (and cached) on

@@ -28,6 +28,31 @@ from jax import shard_map
 from bigsnpr_tpu.core.unpack import unpack_standardized
 
 
+def put_global(mesh: Mesh, arr, spec: P):
+    """Place a host array on the mesh, multi-process safe: each process
+    materializes only its addressable shards (device_put of a host array
+    cannot target non-addressable devices)."""
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr),
+                              jax.sharding.NamedSharding(mesh, spec))
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, jax.sharding.NamedSharding(mesh, spec),
+        lambda idx: arr[idx])
+
+
+def fetch_global(arr) -> np.ndarray:
+    """Fetch a global array to host on every process. Fully-addressable
+    arrays (single process, or replicated over the process axis) copy
+    directly; otherwise allgather over DCN (tall-skinny factors only —
+    the packed matrix never takes this path)."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 def factor_mesh(n_devices: int) -> tuple[int, int]:
     """Factor n_devices into (samples, variants) axes, near-square."""
     s = int(np.sqrt(n_devices))
@@ -165,9 +190,23 @@ class MeshOperator:
                  precision: str = "highest"):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.packed, self.n, self.m, self.n_pad = shard_pack(pack, self.mesh)
+        self._finish(center, scale, precision)
+
+    @classmethod
+    def from_sharded(cls, packed, n: int, m: int, n_pad: int,
+                     center, scale, mesh: Mesh, precision: str = "highest"):
+        """Build from an already-placed P('v','s') packed array — the
+        multi-process path, where each host contributed only its own
+        sample byte-shard (parallel/distributed.py)."""
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.packed, self.n, self.m, self.n_pad = packed, n, m, n_pad
+        self._finish(center, scale, precision)
+        return self
+
+    def _finish(self, center, scale, precision):
         m_pad = self.packed.shape[0]
         self.m_pad = m_pad
-
         center = np.asarray(center, dtype=np.float64)
         scale = np.asarray(scale, dtype=np.float64)
         good = scale > 0
@@ -175,15 +214,13 @@ class MeshOperator:
         s = np.ones(m_pad, dtype=np.float32)
         c[:self.m] = np.where(good, center, 2.0)
         s[:self.m] = np.where(good, scale, 1.0)
-        self.center = jax.device_put(
-            jnp.asarray(c), jax.sharding.NamedSharding(self.mesh, P("v")))
-        self.scale = jax.device_put(
-            jnp.asarray(s), jax.sharding.NamedSharding(self.mesh, P("v")))
+        self.center = put_global(self.mesh, c, P("v"))
+        self.scale = put_global(self.mesh, s, P("v"))
         self._cprod = cprod_fn(self.mesh, precision=precision)
         self._prod = prod_fn(self.mesh, precision=precision)
         self._power = power_both_fn(self.mesh, precision=precision)
-        self._sV = jax.sharding.NamedSharding(self.mesh, P("s", None))
-        self._sU = jax.sharding.NamedSharding(self.mesh, P("v", None))
+        self._sV = P("s", None)
+        self._sU = P("v", None)
 
     def cprod(self, V):
         V = np.asarray(V, dtype=np.float32)
@@ -193,9 +230,9 @@ class MeshOperator:
         Vp = np.zeros((self.n_pad, V.shape[1]), dtype=np.float32)
         Vp[:self.n] = V
         out = self._cprod(self.packed,
-                          jax.device_put(jnp.asarray(Vp), self._sV),
+                          put_global(self.mesh, Vp, self._sV),
                           self.center, self.scale)
-        res = np.asarray(out)[:self.m]
+        res = fetch_global(out)[:self.m]
         return res[:, 0] if squeeze else res
 
     def prod(self, U):
@@ -206,9 +243,9 @@ class MeshOperator:
         Up = np.zeros((self.m_pad, U.shape[1]), dtype=np.float32)
         Up[:self.m] = U
         out = self._prod(self.packed,
-                         jax.device_put(jnp.asarray(Up), self._sU),
+                         put_global(self.mesh, Up, self._sU),
                          self.center, self.scale)
-        res = np.asarray(out)[:self.n]
+        res = fetch_global(out)[:self.n]
         return res[:, 0] if squeeze else res
 
     def power(self, V):
@@ -219,9 +256,9 @@ class MeshOperator:
         Vp = np.zeros((self.n_pad, V.shape[1]), dtype=np.float32)
         Vp[:self.n] = V
         B, Y = self._power(self.packed,
-                           jax.device_put(jnp.asarray(Vp), self._sV),
+                           put_global(self.mesh, Vp, self._sV),
                            self.center, self.scale)
-        return np.asarray(B)[:self.m], np.asarray(Y)[:self.n]
+        return fetch_global(B)[:self.m], fetch_global(Y)[:self.n]
 
 
 def colstats_fn(mesh: Mesh):

@@ -21,17 +21,25 @@ import numpy as np
 
 
 def timeit_chained(step, x0, iters=10):
-    """Chained timing: each step's output feeds the next (async-dispatch-proof)."""
-    out = step(x0)
-    out = step(out)  # compile the chained form
+    """Chained timing with a host fetch of the final output — the axon
+    tunnel's block_until_ready can return before remote execution
+    finishes (round-2 postmortem: 0.1 ms/iter reported for a 1 GB-touch
+    step); a device_get cannot lie. One-shot fetch latency on a ready
+    array is measured and subtracted."""
     import jax
 
-    jax.block_until_ready(out)
+    out = step(x0)
+    jax.device_get(out)
+    out = step(out)  # compile the chained form
+    jax.device_get(out)
+    t0 = time.perf_counter()
+    jax.device_get(out)
+    fetch_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(out)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    jax.device_get(out)
+    return max(time.perf_counter() - t0 - fetch_s, 1e-9) / iters
 
 
 def main(quick=False, sweep=False):
@@ -55,19 +63,27 @@ def main(quick=False, sweep=False):
     scale = np.where(np.asarray(sc["scale"]) > 0, np.asarray(sc["scale"]), 1)
     Q0 = rng.standard_normal((n, l)).astype(np.float32)
 
-    # 1. operator power-iter (device-side chaining via the raw jit fns)
+    # 1. operator power-iter, fully device-chained via power_dev
     ops = {"xla": XlaOperator(pack, center, scale),
            "pallas": pk.PallasOperator(pack, center, scale)}
     base = {}
     for name, op in ops.items():
         def step(Q, op=op):
-            _, Y = op.power(np.asarray(Q) * 1e-3)
-            return jnp.asarray(Y)
+            _, Y = op.power_dev(Q * 1e-3)
+            return Y
 
-        dt = timeit_chained(step, Q0, iters=5)
+        dt = timeit_chained(step, jnp.asarray(Q0), iters=10)
         base[name] = dt
         print(f"{name} power-iter: {dt*1e3:.1f} ms -> "
               f"{2*m*n/dt/1e9:.0f} G visits/s")
+        # host-round-trip variant (the .power numpy surface): shows the
+        # tunnel-latency tax iterative host drivers would pay
+        def step_h(Q, op=op):
+            _, Y = op.power(np.asarray(Q) * 1e-3)
+            return jnp.asarray(Y)
+
+        dt_h = timeit_chained(step_h, Q0, iters=3)
+        print(f"{name} power-iter via host: {dt_h*1e3:.1f} ms")
 
     # 2. TM sweep (Pallas)
     if sweep:
@@ -145,5 +161,69 @@ def main(quick=False, sweep=False):
     print("OK — update BENCH_NOTES.md with these numbers.")
 
 
+def scale_run(m_scale=200_000, W=500, block=4096, sweeps=(100, 100)):
+    """HM3-class LDpred2-auto on chip: wall time + memory report
+    (reference target: <2 min for ~1M HM3 variants on 4 cores,
+    vignettes/LDpred2.Rmd:390-393, with a ~60 GB SFBM)."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from bigsnpr_tpu.ops.corr import SparseLD
+    from bigsnpr_tpu.pgs.ldpred2 import snp_ldpred2_auto
+    from bigsnpr_tpu.pgs.gibbs_blocked import build_block_bands
+
+    print("backend:", jax.default_backend(), jax.devices())
+    rng = np.random.default_rng(0)
+    print(f"building synthetic banded LD m={m_scale} W={W} ...", flush=True)
+    t0 = time.perf_counter()
+    diags = [np.ones(m_scale)]
+    offs = [0]
+    for d in range(1, W + 1):
+        v = rng.normal(0.0, 0.25 / d, m_scale - d)
+        j = np.arange(m_scale - d)
+        v[(j % block) >= block - d] = 0.0
+        diags.append(v)
+        offs.append(d)
+    corr = SparseLD(upper=sp.diags(diags, offs, format="csc").tocsc())
+    print(f"  LD built in {time.perf_counter()-t0:.0f}s "
+          f"(nnz={corr.upper.nnz/1e6:.0f}M)")
+
+    n_eff = 50_000.0
+    beta_true = np.zeros(m_scale)
+    causal = rng.choice(m_scale, m_scale // 50, replace=False)
+    beta_true[causal] = rng.normal(0, 0.01, len(causal))
+    se = np.full(m_scale, 1 / np.sqrt(n_eff))
+    df = {"beta": corr.sym() @ beta_true + rng.normal(0, se),
+          "beta_se": se, "n_eff": np.full(m_scale, n_eff)}
+
+    nb_full = m_scale // block
+    blocks = np.r_[np.full(nb_full, block),
+                   [m_scale - nb_full * block]][:nb_full + (m_scale % block > 0)]
+    t0 = time.perf_counter()
+    bb = build_block_bands(corr, blocks)
+    print(f"band build: {time.perf_counter()-t0:.0f}s, "
+          f"device bytes {bb.nbytes/1e9:.2f} GB "
+          f"({len(bb.buckets)} buckets)")
+
+    burn_in, num_iter = sweeps
+    t0 = time.perf_counter()
+    res = snp_ldpred2_auto(corr, df, h2_init=0.3, vec_p_init=[0.1],
+                           burn_in=burn_in, num_iter=num_iter,
+                           blocks=blocks)[0]
+    dt = time.perf_counter() - t0
+    tot = (burn_in + num_iter) * m_scale
+    print(f"LDpred2-auto[{burn_in}+{num_iter} sweeps, m={m_scale}]: "
+          f"{dt:.0f}s ({tot/dt/1e3:.0f} variant-steps/ms) "
+          f"h2_est={res['h2_est']:.3f} p_est={res['p_est']:.4f} "
+          f"finite={np.isfinite(res['beta_est']).all()}")
+    r = np.corrcoef(res["beta_est"], beta_true)[0, 1]
+    print(f"cor(beta_est, beta_true) = {r:.3f}")
+
+
 if __name__ == "__main__":
-    main(quick="--quick" in sys.argv, sweep="--sweep" in sys.argv)
+    if "--scale" in sys.argv:
+        i = sys.argv.index("--scale")
+        m_s = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 200_000
+        scale_run(m_scale=m_s)
+    else:
+        main(quick="--quick" in sys.argv, sweep="--sweep" in sys.argv)

