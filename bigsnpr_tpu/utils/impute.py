@@ -102,16 +102,78 @@ def snp_fastImputeSimple_mean2(pack: GenoPack):
     return DosagePack(codes=out, n=pack.n, fam=pack.fam, map=pack.map)
 
 
+def _impute_block_fn(n: int, W: int, K: int, B: int, ridge: float):
+    """Jitted device kernel: B simultaneous per-SNP ridge regressions on
+    up to K neighbor features drawn from a W-variant packed window.
+
+    The window's 2-bit bytes decode ON DEVICE (no dense (n, m) host
+    matrix — the reference streams bytes the same way, R/impute.R:69-84,
+    but one SNP at a time through xgboost; here the whole block's normal
+    equations batch through the MXU with a vmapped Cholesky solve).
+
+    Inputs: packed_win (W, nb) uint8; nb_idx (B, K) window-local neighbor
+    rows; nb_valid (B, K) {0,1}; y_idx (B,) window-local target rows;
+    train (B, n) {0,1} training-row masks. Returns (preds (B, n), y
+    (B, n) dosages, y_na (B, n) bool)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bigsnpr_tpu.config import dot_precision
+
+    def fn(packed_win, nb_idx, nb_valid, y_idx, train):
+        prec = dot_precision()
+        d, na = unpack.unpack_dosage(packed_win, n)        # (W, n)
+        cnt = jnp.maximum((~na).sum(1), 1).astype(jnp.float32)
+        mean = d.sum(1) / cnt
+        F = jnp.where(na, mean[:, None], d)                # mean-imputed
+        y = d[y_idx]                                       # (B, n)
+        y_na = na[y_idx]
+
+        def per_snp(nbj, validj, yj, y_naj, trainj):
+            trainj = trainj * (1.0 - y_naj)     # never train on missing y
+            A = F[nbj] * validj[:, None]                   # (K, n)
+            A = jnp.concatenate(
+                [jnp.ones((1, n), A.dtype), A], axis=0)    # (K+1, n)
+            Aw = A * trainj[None, :]
+            G = jnp.dot(Aw, A.T, precision=prec,
+                        preferred_element_type=jnp.float32)
+            ntr = trainj.sum()
+            G = G + (ridge * ntr) * jnp.eye(K + 1, dtype=A.dtype)
+            b = jnp.dot(Aw, yj, precision=prec,
+                        preferred_element_type=jnp.float32)
+            w = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(G, lower=True), b)
+            return jnp.dot(w, A, precision=prec,
+                           preferred_element_type=jnp.float32)
+
+        preds = jax.vmap(per_snp)(nb_idx, nb_valid, y,
+                                  y_na.astype(jnp.float32), train)
+        return preds, y, y_na
+
+    return jax.jit(fn)
+
+
 def snp_fastImpute(pack: GenoPack, infos_chr=None, alpha: float = 1e-4,
                    size: int = 200, p_train: float = 0.8,
                    n_cor: int | None = None, seed: int | None = None,
                    info: np.ndarray | None = None,
-                   ridge: float = 1e-3):
-    """Model-based imputation: per-SNP regression on correlated neighbors.
+                   ridge: float = 1e-3, max_neighbors: int = 32,
+                   block: int = 512):
+    """Model-based imputation: per-SNP ridge regression on correlated
+    neighbors (reference snp_fastImpute, R/impute.R:29-160, with the
+    XGBoost local model replaced by a ridge on the same
+    correlation-selected neighbor set — DEVIATIONS #3).
+
+    TPU-native: variants are processed in blocks of `block`; each block
+    decodes its packed byte window on device and solves all of its
+    (max_neighbors+1)-dim ridge normal equations as one vmapped batch —
+    the full (n, m) dosage matrix is NEVER materialized (the repo's
+    structure canon). Per-SNP dense feature panels exist only as the
+    (W, n) on-device window.
 
     Returns (imputed GenoPack, info (2, m): [NA rate, validation error]).
-    `info` can be passed back in to resume (reference's resumable infos FBM,
-    R/impute.R:13-25).
+    `info` can be passed back in to resume (reference's resumable infos
+    FBM, R/impute.R:13-25).
     """
     rng = np.random.default_rng(seed)
     n, m = pack.n, pack.m
@@ -124,58 +186,97 @@ def snp_fastImpute(pack: GenoPack, infos_chr=None, alpha: float = 1e-4,
     if info is None:
         info = np.full((2, m), np.nan)
 
-    codes = unpack.np_unpack_codes(np.asarray(pack.packed), pack.n)
-    X = pack.to_dosage()  # (n, m) with NaN
-    new_codes = codes.copy()
+    import jax.numpy as jnp
+
+    packed_all = np.asarray(pack.packed)
+    new_packed = packed_all.copy()
+    K = max_neighbors
+    kernels: dict = {}
 
     for chrom in np.unique(infos_chr):
         ind_chr = np.nonzero(infos_chr == chrom)[0]
-        if not np.isnan(info[0, ind_chr]).any():
+        todo = np.isnan(info[0, ind_chr])
+        if not todo.any():
             continue
+        len_chr = len(ind_chr)
         ind_rows_cor = np.sort(rng.choice(n, size=n_cor, replace=False))
         corr = snp_cor(pack, ind_row=ind_rows_cor, ind_col=ind_chr,
                        size=size, alpha=alpha, fill_diag=False)
         csc = corr.sym().tocsc()
 
-        for i, snp in enumerate(ind_chr):
-            if not np.isnan(info[0, snp]):
+        # neighbor table: top-K by |r|, positional fallback when < 5
+        nb_tab = np.zeros((len_chr, K), dtype=np.int32)
+        nb_val = np.zeros((len_chr, K), dtype=np.float32)
+        for i in range(len_chr):
+            lo_p, hi_p = csc.indptr[i], csc.indptr[i + 1]
+            neigh = csc.indices[lo_p:hi_p]
+            r = np.abs(csc.data[lo_p:hi_p])
+            if len(neigh) < 5:
+                lo, hi = max(0, i - size), min(len_chr, i + size + 1)
+                extra = np.setdiff1d(np.arange(lo, hi), np.r_[neigh, i])
+                neigh = np.r_[neigh, extra]
+                r = np.r_[r, np.full(len(extra), 1e-9)]
+            if len(neigh) > K:
+                top = np.argpartition(-r, K - 1)[:K]
+                neigh = neigh[top]
+            k = len(neigh)
+            nb_tab[i, :k] = neigh
+            nb_val[i, :k] = 1.0
+
+        Bsz = min(block, len_chr)
+        W = min(len_chr, Bsz + 2 * size)
+        key = (n, W, K, Bsz)
+        if key not in kernels:
+            kernels[key] = _impute_block_fn(n, W, K, Bsz, ridge)
+        kern = kernels[key]
+
+        for j0 in range(0, len_chr, Bsz):
+            blk = np.arange(j0, min(j0 + Bsz, len_chr))
+            need = todo[blk]
+            if not need.any():
                 continue
-            x = X[:, snp]
-            ind_na = np.nonzero(np.isnan(x))[0]
-            nbna = len(ind_na)
-            if nbna > 0:
-                neigh_local = csc.indices[csc.indptr[i]:csc.indptr[i + 1]]
-                ind_col = ind_chr[neigh_local]
-                if len(ind_col) < 5:
-                    lo, hi = max(0, i - size), min(len(ind_chr), i + size + 1)
-                    ind_col = np.setdiff1d(ind_chr[lo:hi], [snp])
-                ind_nona = np.nonzero(~np.isnan(x))[0]
-                ntr = int(p_train * len(ind_nona))
-                perm = rng.permutation(len(ind_nona))
-                ind_train = np.sort(ind_nona[perm[:ntr]])
-                ind_val = np.sort(ind_nona[perm[ntr:]])
+            win_lo = min(max(0, j0 - size), len_chr - W)
+            # pad target list to Bsz (repeats are computed then ignored)
+            tgt = np.resize(blk, Bsz)
+            packed_win = packed_all[ind_chr[win_lo:win_lo + W]]
+            nb_loc = np.clip(nb_tab[tgt] - win_lo, 0, W - 1).astype(np.int32)
+            valid = nb_val[tgt] * (np.abs(nb_tab[tgt] - win_lo - nb_loc) == 0)
+            y_idx = (tgt - win_lo).astype(np.int32)
 
-                # features: neighbor dosages, mean-imputed
-                F = X[:, ind_col]
-                col_mean = np.nanmean(F, axis=0)
-                col_mean = np.nan_to_num(col_mean)
-                F = np.where(np.isnan(F), col_mean[None, :], F)
-                A = np.column_stack([np.ones(len(F)), F])
+            # per-SNP train/val split over non-missing rows (host RNG,
+            # one draw per row per SNP — reproducible given seed)
+            u = rng.random((Bsz, n)).astype(np.float32)
+            train = (u < p_train).astype(np.float32)
 
-                At = A[ind_train]
-                yt = x[ind_train]
-                G = At.T @ At + ridge * len(ind_train) * np.eye(A.shape[1])
-                w = np.linalg.solve(G, At.T @ yt)
+            preds, y, y_na = kern(
+                jnp.asarray(packed_win), jnp.asarray(nb_loc),
+                jnp.asarray(valid.astype(np.float32)),
+                jnp.asarray(y_idx), jnp.asarray(train))
+            preds = np.asarray(preds)
+            y = np.asarray(y)
+            y_na = np.asarray(y_na)
+            train_b = np.asarray(train) > 0
 
-                if len(ind_val):
-                    pred_val = np.clip(A[ind_val] @ w, 0, 2)
-                    info[1, snp] = np.mean(np.rint(pred_val) != x[ind_val])
-                pred = np.clip(A[ind_na] @ w, 0, 2)
-                filled = np.rint(pred)
-                new_codes[snp, ind_na] = unpack.np_dosage_to_codes(
-                    filled[None, :])[0]
-            info[0, snp] = nbna / n
+            for t in np.nonzero(need)[0]:
+                i = blk[t]
+                snp = ind_chr[i]
+                na_rows = y_na[t]
+                nbna = int(na_rows.sum())
+                if nbna:
+                    filled = np.rint(np.clip(preds[t, na_rows], 0, 2))
+                    val_rows = ~na_rows & ~train_b[t]
+                    if val_rows.any():
+                        pv = np.rint(np.clip(preds[t, val_rows], 0, 2))
+                        info[1, snp] = np.mean(pv != y[t, val_rows])
+                    # write imputed 2-bit codes into this variant's bytes
+                    row_codes = unpack.np_unpack_codes(
+                        new_packed[snp][None, :], n)[0]
+                    row_codes[na_rows] = unpack.np_dosage_to_codes(
+                        filled[None, :])[0]
+                    new_packed[snp] = unpack.np_pack_codes(
+                        row_codes[None, :])[0]
+                info[0, snp] = nbna / n
 
-    out = GenoPack(packed=unpack.np_pack_codes(new_codes), n=pack.n,
+    out = GenoPack(packed=new_packed, n=pack.n,
                    fam=pack.fam, map=pack.map)
     return out, info

@@ -78,3 +78,41 @@ def test_bucketed_memory_footprint(big_banded):
     # dense band would be M * (2W+1) * 4 bytes; bucketed stays within 2x
     dense_band = M * (2 * W + 1) * 4
     assert bb.nbytes <= 2 * dense_band, (bb.nbytes, dense_band)
+
+
+def test_fastimpute_5k_x_20k():
+    """VERDICT #7 'Done' criterion: snp_fastImpute at 5K x 20K with NO
+    dense (n, m) dosage materialization (device-batched block ridge);
+    wall time recorded in BENCH_NOTES.md (~33 s CPU)."""
+    import time
+
+    from scipy.stats import norm
+
+    from bigsnpr_tpu.core import unpack as U
+    from bigsnpr_tpu.core.genotypes import GenoPack
+    from bigsnpr_tpu.utils.impute import snp_fastImpute, snp_fastImputeSimple
+
+    rng = np.random.default_rng(0)
+    n, m = 5_000, 20_000
+    h = rng.standard_normal((n, 50))
+    load = rng.standard_normal((50, m)) * (rng.random((50, m)) < 0.1)
+    latent = h @ load + rng.standard_normal((n, m))
+    p = rng.uniform(0.1, 0.5, m)
+    X = ((latent > norm.ppf((1 - p) ** 2)).astype(float)
+         + (latent > norm.ppf(1 - p**2)))
+    na = rng.random((n, m)) < 0.05
+    Xo = X.copy()
+    Xo[na] = np.nan
+    pack = GenoPack(packed=U.np_pack_codes(U.np_dosage_to_codes(Xo.T)), n=n)
+
+    t0 = time.perf_counter()
+    out, info = snp_fastImpute(pack, seed=1)
+    dt = time.perf_counter() - t0
+    Xi = out.to_dosage()
+    assert not np.isnan(Xi).any()
+    err = np.mean(Xi[na] != X[na])
+    err_mode = np.mean(
+        snp_fastImputeSimple(pack, "mode").to_dosage()[na] != X[na])
+    assert err < err_mode, (err, err_mode)
+    assert dt < 600, dt  # bounded CI time
+    np.testing.assert_allclose(info[0], na.mean(axis=0), atol=1e-12)
