@@ -15,6 +15,7 @@ from bigsnpr_tpu.core.genotypes import (
     GenoPack,
     snp_fake,
     snp_attach,
+    snp_attach_rds,
     snp_save,
     snp_subset,
 )

@@ -145,9 +145,15 @@ class GenoPack:
         return str(path)
 
 
-def snp_attach(path: str | os.PathLike, mmap: bool = True) -> GenoPack:
-    """Re-attach a saved GenoPack (reference snp_attach, R/read-plink.R:128-139)."""
+def snp_attach(path: str | os.PathLike, mmap: bool = True):
+    """Re-attach a saved GenoPack (reference snp_attach, R/read-plink.R:128-139).
+
+    Accepts either a native `.gpk` store or a reference bigsnpr
+    `.rds`+`.bk` pair (interop: reference users migrate datasets without
+    re-ingest — dispatches to snp_attach_rds)."""
     path = Path(path)
+    if path.suffix == ".rds":
+        return snp_attach_rds(path, mmap=mmap)
     meta = json.loads((path / "meta.json").read_text())
     n, m = meta["n"], meta["m"]
     nb = (n + 3) // 4
@@ -162,6 +168,82 @@ def snp_attach(path: str | os.PathLike, mmap: bool = True) -> GenoPack:
 
 def snp_save(pack: GenoPack, path: str | os.PathLike) -> str:
     return pack.save(path)
+
+
+def snp_attach_rds(rds_path, bk_path=None, mmap: bool = True):
+    """Attach a reference bigsnpr/bigstatsr `.rds`+`.bk` pair
+    (reference snp_attach, R/read-plink.R:128-139), including the
+    relocatable backingfile fix-up (:135-137): the stored absolute path
+    is replaced by the `.bk` of the same basename next to the `.rds`.
+
+    The `.bk` is the FBM byte matrix, column-major (nrow x ncol) on
+    disk, i.e. variant-major rows when viewed as (ncol, nrow) — exactly
+    our layout. Hard-call code tables (all values in {0,1,2,NA})
+    repack to a 2-bit GenoPack; any other code256 (e.g. CODE_DOSAGE)
+    attaches as a DosagePack with the original table.
+    """
+    from bigsnpr_tpu.utils.rds import REnv, read_rds, to_frame, unwrap
+
+    rds_path = Path(rds_path)
+    obj = read_rds(rds_path)
+    cls = unwrap(getattr(obj, "attrs", {}).get("class"))
+    cls = [cls] if isinstance(cls, str) else list(cls or [])
+    fam = map_ = None
+    if "bigSNP" in cls:
+        names = list(unwrap(obj.attrs["names"]))
+        parts = dict(zip(names, obj.value))
+        fbm = parts["genotypes"]
+        if parts.get("fam") is not None:
+            fam = to_frame(parts["fam"])
+        if parts.get("map") is not None:
+            map_ = to_frame(parts["map"])
+    else:
+        fbm = obj  # bare FBM.code256
+
+    env = fbm.attrs[".xData"]
+    assert isinstance(env, REnv), "not a RefClass FBM object"
+
+    def field(name):
+        return unwrap(env.frame[f".->{name}"])
+
+    nrow = int(np.asarray(field("nrow"))[0])
+    ncol = int(np.asarray(field("ncol"))[0])
+    code256 = np.asarray(field("code256"), dtype=np.float64)
+    stored_bk = field("backingfile")
+    stored_bk = stored_bk[0] if isinstance(stored_bk, list) else stored_bk
+
+    if bk_path is None:
+        # basename may carry Windows separators from the creator machine
+        base = str(stored_bk).replace("\\", "/").rsplit("/", 1)[-1]
+        cand = rds_path.parent / base
+        bk_path = cand if cand.exists() else Path(str(stored_bk))
+    bk_path = Path(bk_path)
+    if not bk_path.exists():
+        raise FileNotFoundError(f"backingfile not found: {bk_path}")
+    expect = nrow * ncol
+    actual = bk_path.stat().st_size
+    if actual < expect:
+        raise ValueError(f"backingfile too small: {actual} < {expect}")
+
+    codes = np.memmap(bk_path, dtype=np.uint8, mode="r",
+                      shape=(ncol, nrow))
+    if not mmap:
+        codes = np.asarray(codes)
+
+    finite = code256[np.isfinite(code256)]
+    if np.isin(finite, (0.0, 1.0, 2.0)).all():
+        lut = unpack.np_dosage_to_codes(code256[None, :])[0]  # byte->2bit
+        out = np.empty((ncol, (nrow + 3) // 4), dtype=np.uint8)
+        step = max(1, (1 << 24) // max(nrow, 1))   # ~16MB chunks
+        for j0 in range(0, ncol, step):
+            out[j0:j0 + step] = unpack.np_pack_codes(
+                lut[codes[j0:j0 + step]])
+        return GenoPack(packed=out, n=nrow, fam=fam, map=map_)
+
+    from bigsnpr_tpu.core.dosage import DosagePack
+
+    return DosagePack(codes=codes, n=nrow, code256=code256,
+                      fam=fam, map=map_)
 
 
 def snp_subset(pack: GenoPack, ind_row=None, ind_col=None) -> GenoPack:

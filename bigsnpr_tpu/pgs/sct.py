@@ -128,18 +128,87 @@ def snp_grid_clumping(
 @dataclass
 class GridPRS:
     """C+T scores for the whole grid (the reference's multi_PRS FBM +
-    attributes, R/SCT.R:236-245)."""
+    attributes, R/SCT.R:236-245). `scores` may be an on-disk float32
+    memmap (see snp_grid_PRS backingfile=) — the FBM analog: biobank
+    n x thousands of grid cells never has to fit in RAM."""
 
     scores: np.ndarray          # (n, n_keep_sets * n_thr)
     lpS: np.ndarray
     grid_lpS_thr: np.ndarray
     betas: np.ndarray
     all_keep: dict
+    backingfile: str | None = None
+
+    def save(self, path) -> str:
+        """Persist metadata next to the backing store so a later session
+        can re-attach (reference saves the RDS immediately after filling
+        the FBM, R/SCT.R:244). Returns the metadata path."""
+        path = str(path)
+        if not path.endswith(".meta.npz"):
+            path = path + ".meta.npz"
+        chroms = sorted(self.all_keep)
+        keep_flat = [k for c in chroms for k in self.all_keep[c]]
+        np.savez_compressed(
+            path,
+            lpS=self.lpS, grid_lpS_thr=self.grid_lpS_thr, betas=self.betas,
+            chroms=np.asarray(chroms),
+            keep_counts=np.asarray([len(self.all_keep[c]) for c in chroms]),
+            keep_lens=np.asarray([len(k) for k in keep_flat]),
+            keep_cat=(np.concatenate(keep_flat) if keep_flat
+                      else np.array([], dtype=np.int64)),
+            backingfile=np.asarray(self.backingfile or ""),
+            scores_inline=(self.scores if self.backingfile is None
+                           else np.array([])),
+        )
+        if self.backingfile is not None and hasattr(self.scores, "flush"):
+            self.scores.flush()
+        return path
+
+    @classmethod
+    def load(cls, path) -> "GridPRS":
+        path = str(path)
+        if not path.endswith(".meta.npz"):
+            path = path + ".meta.npz"
+        z = np.load(path, allow_pickle=False)
+        keep_flat = []
+        off = 0
+        for ln in z["keep_lens"]:
+            keep_flat.append(z["keep_cat"][off:off + ln])
+            off += ln
+        all_keep = {}
+        i = 0
+        for c, cnt in zip(z["chroms"], z["keep_counts"]):
+            all_keep[int(c)] = keep_flat[i:i + cnt]
+            i += cnt
+        bf = str(z["backingfile"])
+        if bf:
+            import os
+
+            if not os.path.exists(bf):
+                # relocatable fix-up: look next to the metadata file
+                # (reference R/read-plink.R:135-137 attach semantics)
+                cand = os.path.join(os.path.dirname(path),
+                                    os.path.basename(bf))
+                if os.path.exists(cand):
+                    bf = cand
+        scores = (np.load(bf, mmap_mode="r+") if bf
+                  else z["scores_inline"])
+        return cls(scores=scores, lpS=z["lpS"],
+                   grid_lpS_thr=z["grid_lpS_thr"], betas=z["betas"],
+                   all_keep=all_keep, backingfile=bf or None)
 
 
 def snp_grid_PRS(pack, all_keep, betas, lpS, n_thr_lpS=50, grid_lpS_thr=None,
-                 ind_row=None) -> GridPRS:
-    """Reference snp_grid_PRS (R/SCT.R:201-246)."""
+                 ind_row=None, backingfile=None) -> GridPRS:
+    """Reference snp_grid_PRS (R/SCT.R:201-246).
+
+    backingfile: path for an on-disk float32 score store (the
+    reference's FBM at R/SCT.R:244). Scores are written chunk-by-chunk
+    (one grid cell's threshold block at a time), so peak RAM is
+    O(n * n_thr) regardless of grid size. A half-written store is
+    deleted on failure."""
+    import os
+
     betas = np.asarray(betas, dtype=np.float64)
     lpS = np.asarray(lpS, dtype=np.float64)
     if grid_lpS_thr is None:
@@ -150,15 +219,33 @@ def snp_grid_PRS(pack, all_keep, betas, lpS, n_thr_lpS=50, grid_lpS_thr=None,
 
     keep_sets = [k for chrom in sorted(all_keep) for k in all_keep[chrom]]
     sub = pack if ind_row is None else pack.subset(ind_row=np.asarray(ind_row))
-    scores = np.zeros((sub.n, len(keep_sets) * n_thr), dtype=np.float32)
-    for ic, ind_keep in enumerate(keep_sets):
-        if len(ind_keep) == 0:
-            continue
-        prs = snp_PRS(sub, betas[ind_keep], ind_keep=ind_keep,
-                      lpS_keep=lpS[ind_keep], thr_list=grid_lpS_thr)
-        scores[:, ic * n_thr:(ic + 1) * n_thr] = prs
+    shape = (sub.n, len(keep_sets) * n_thr)
+    if backingfile is not None:
+        backingfile = str(backingfile)
+        if not backingfile.endswith(".npy"):
+            backingfile = backingfile + ".npy"
+        if os.path.exists(backingfile):
+            raise FileExistsError(backingfile)
+        scores = np.lib.format.open_memmap(
+            backingfile, mode="w+", dtype=np.float32, shape=shape)
+    else:
+        scores = np.zeros(shape, dtype=np.float32)
+    try:
+        for ic, ind_keep in enumerate(keep_sets):
+            if len(ind_keep) == 0:
+                continue
+            prs = snp_PRS(sub, betas[ind_keep], ind_keep=ind_keep,
+                          lpS_keep=lpS[ind_keep], thr_list=grid_lpS_thr)
+            scores[:, ic * n_thr:(ic + 1) * n_thr] = prs
+    except BaseException:
+        if backingfile is not None:
+            del scores
+            os.unlink(backingfile)  # half-written cleanup (R/read-bgen.R:191)
+        raise
+    if backingfile is not None:
+        scores.flush()
     return GridPRS(scores=scores, lpS=lpS, grid_lpS_thr=grid_lpS_thr,
-                   betas=betas, all_keep=all_keep)
+                   betas=betas, all_keep=all_keep, backingfile=backingfile)
 
 
 def snp_grid_stacking(multi_PRS: GridPRS, y_train,

@@ -17,11 +17,49 @@ import struct
 import numpy as np
 
 _SYMSXP, _LISTSXP, _CHARSXP = 1, 2, 9
+_CLOSXP, _ENVSXP, _PROMSXP, _LANGSXP = 3, 4, 5, 6
+_SPECIALSXP, _BUILTINSXP = 7, 8
 _LGLSXP, _INTSXP, _REALSXP, _CPLXSXP, _STRSXP, _VECSXP = 10, 13, 14, 15, 16, 19
+_BCODESXP, _EXTPTRSXP, _WEAKREFSXP = 21, 22, 23
 _RAWSXP = 24
 _S4SXP = 25
+_BASEENV, _EMPTYENV = 241, 242
+_BCREPREF, _BCREPDEF = 243, 244
+_PACKAGESXP, _NAMESPACESXP = 248, 249
+_BASENAMESPACE = 250
+_MISSINGARG, _UNBOUNDVALUE, _GLOBALENV = 251, 252, 253
+_ATTRLISTSXP, _ATTRLANGSXP = 239, 240
 _ALTREP, _NILVALUE, _REFSXP = 238, 254, 255
 _NA_INT = -2147483648
+
+
+class REnv:
+    """A deserialized R environment: bindings in `frame`
+    (RefClass/R6 instance fields land here)."""
+
+    def __init__(self):
+        self.frame = {}
+        self.enclos = None
+        self.attrs = {}
+        self.locked = False
+
+    def get(self, name, default=None):
+        return self.frame.get(name, default)
+
+    def __repr__(self):
+        return f"REnv({list(self.frame)})"
+
+
+class ROpaque:
+    """Closures / bytecode / external pointers — structure preserved for
+    stream correctness, contents not interpreted."""
+
+    def __init__(self, kind, parts=None):
+        self.kind = kind
+        self.parts = parts
+
+    def __repr__(self):
+        return f"ROpaque({self.kind})"
 
 
 class _Reader:
@@ -64,6 +102,74 @@ class _Reader:
 
         if ptype == _NILVALUE:
             return None
+        if ptype == _GLOBALENV:
+            return ROpaque("globalenv")
+        if ptype == _EMPTYENV:
+            return ROpaque("emptyenv")
+        if ptype == _BASEENV:
+            return ROpaque("baseenv")
+        if ptype == _BASENAMESPACE:
+            return ROpaque("basenamespace")
+        if ptype == _UNBOUNDVALUE:
+            return ROpaque("unbound")
+        if ptype == _MISSINGARG:
+            return ROpaque("missing")
+        if ptype in (_NAMESPACESXP, _PACKAGESXP):
+            assert self.rint() == 0, "bad persistent string vec"
+            n = self.rint()
+            names = [self.item() for _ in range(n)]
+            obj = ROpaque("namespace" if ptype == _NAMESPACESXP
+                          else "package", names)
+            self.refs.append(obj)
+            return obj
+        if ptype == _ENVSXP:
+            env = REnv()
+            env.locked = bool(self.rint())
+            self.refs.append(env)      # register BEFORE contents (cycles)
+            env.enclos = self.item()
+            frame = self.item()        # pairlist of bindings
+            hashtab = self.item()      # VECSXP of pairlists
+            attrs = self.item()
+            if isinstance(frame, list):
+                for tag, car in frame:
+                    if tag is not None:
+                        env.frame[tag] = car
+            tab = unwrap(hashtab)
+            if isinstance(tab, list):
+                for chain in tab:
+                    if isinstance(chain, list):
+                        for tag, car in chain:
+                            if tag is not None:
+                                env.frame[tag] = car
+            if isinstance(attrs, list):
+                env.attrs = {t: c for t, c in attrs}
+            return env
+        if ptype == _CLOSXP:
+            attr = self.item() if has_attr else None
+            env = self.item() if has_tag else None
+            formals = self.item()
+            body = self.item()
+            return ROpaque("closure", (attr, env, formals, body))
+        if ptype in (_SPECIALSXP, _BUILTINSXP):
+            n = self.rint()
+            return ROpaque("builtin", self.rd(n).decode("ascii", "replace"))
+        if ptype == _EXTPTRSXP:
+            obj = ROpaque("extptr")
+            self.refs.append(obj)
+            prot = self.item()
+            tag = self.item()
+            obj.parts = (prot, tag)
+            if has_attr:
+                self.item()
+            return obj
+        if ptype == _WEAKREFSXP:
+            obj = ROpaque("weakref")
+            self.refs.append(obj)
+            return obj
+        if ptype == _BCODESXP:
+            nreps = self.rint()
+            reps = [None] * nreps
+            return self._read_bc1(reps)
         if ptype == _REFSXP:
             idx = flags >> 8
             if idx == 0:
@@ -76,7 +182,7 @@ class _Reader:
         if ptype == _CHARSXP:
             n = self.rint()
             return None if n == -1 else self.rd(n).decode("utf-8", "replace")
-        if ptype == _LISTSXP:
+        if ptype in (_LISTSXP, _LANGSXP, _PROMSXP):
             attr = self.item() if has_attr else None
             tag = self.item() if has_tag else None
             car = self.item()
@@ -129,6 +235,48 @@ class _Reader:
             attr = self.item() if has_attr else None
             return _wrap(None, attr)  # S4: slots live in the attributes
         raise ValueError(f"unhandled SEXP type {ptype} at offset {self.pos}")
+
+    # -- bytecode (serialize.c ReadBC/ReadBCConsts/ReadBCLang) -------------
+    def _read_bc1(self, reps):
+        code = self.item()              # instruction INTSXP
+        consts = self._read_bc_consts(reps)
+        return ROpaque("bytecode", (code, consts))
+
+    def _read_bc_consts(self, reps):
+        n = self.rint()
+        out = []
+        for _ in range(n):
+            t = self.rint()
+            if t == _BCODESXP:
+                out.append(self._read_bc1(reps))
+            elif t in (_LANGSXP, _LISTSXP, _ATTRLANGSXP, _ATTRLISTSXP,
+                       _BCREPDEF, _BCREPREF):
+                out.append(self._read_bc_lang(t, reps))
+            else:
+                out.append(self.item())
+        return out
+
+    def _read_bc_lang(self, t, reps):
+        if t == _BCREPREF:
+            return reps[self.rint()]
+        if t in (_BCREPDEF, _LANGSXP, _LISTSXP, _ATTRLANGSXP, _ATTRLISTSXP):
+            pos = -1
+            if t == _BCREPDEF:
+                pos = self.rint()
+                t = self.rint()
+            has_a = t in (_ATTRLANGSXP, _ATTRLISTSXP)
+            node = ROpaque("bclang")
+            if pos >= 0:
+                reps[pos] = node
+            attr = self.item() if has_a else None
+            tag = self.item()
+            car = self._read_bc_lang(self.rint(), reps)
+            cdr = self._read_bc_lang(self.rint(), reps)
+            node.parts = (attr, tag, car, cdr)
+            return node
+        # default: the type int is only a dispatch tag; the item itself
+        # follows with its own flags word (serialize.c ReadBCLang)
+        return self.item()
 
     def _decode_altrep(self, info, state):
         cls = info[0][1] if isinstance(info, list) else None

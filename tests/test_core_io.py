@@ -90,3 +90,37 @@ def test_randomized_subsets(example_pack):
             list(example_pack.fam["sample.ID"].iloc[ind_row])
         assert list(sub.map["marker.ID"]) == \
             list(example_pack.map["marker.ID"].iloc[ind_col])
+
+
+def test_attach_reference_rds_bk_pair():
+    """Interop: snp_attach on the reference's own .rds+.bk store
+    (R/read-plink.R:128-139), incl. the relocatable backingfile fix-up —
+    the stored path is a Windows path from the creator machine. Byte
+    parity against a direct FBM code256 decode of the .bk."""
+    import os
+
+    rds = "/root/reference/tests/testthat/testdata/before_readonly.rds"
+    if not os.path.exists(rds):
+        pytest.skip("reference testdata not present")
+    import bigsnpr_tpu as bt
+
+    pack = bt.snp_attach(rds)
+    assert (pack.n, pack.m) == (10, 20)
+    # oracle: decode the raw .bk bytes through the serialized code256
+    from bigsnpr_tpu.utils.rds import REnv, read_rds, unwrap
+
+    obj = read_rds(rds)
+    env = obj.value[0].attrs[".xData"]
+    code256 = np.asarray(unwrap(env.frame[".->code256"]), dtype=float)
+    raw = np.fromfile(
+        "/root/reference/tests/testthat/testdata/before_readonly.bk",
+        dtype=np.uint8).reshape(20, 10)   # (ncol, nrow): variant-major
+    X_ref = code256[raw].T                # (n, m)
+    np.testing.assert_array_equal(pack.to_dosage(), X_ref)
+
+    # fam/map round out the bigSNP triple
+    assert list(pack.fam["sample.ID"])[:2] == ["IND0", "IND1"]
+    assert pack.map.shape[0] == 20
+
+    # copy=False default keeps the GenoPack 2-bit canon
+    assert pack.packed.shape == (20, 3)

@@ -150,3 +150,51 @@ def test_grid_clumping_info_threshold(setup):
     assert len(k_high) <= len(k_low)
     # grid rows ordered thr.imp-major (reference expand.grid order)
     np.testing.assert_allclose(grid["thr.imp"], [0.3, 0.9])
+
+
+def test_grid_prs_on_disk_store(setup, tmp_path):
+    """backingfile= writes the score FBM analog to disk chunk-by-chunk
+    (reference R/SCT.R:244); identical values to the in-RAM path, and
+    save/load re-attaches the memmap with relocatable fix-up."""
+    pack, y, gwas, lpS, chrs, pos = (
+        setup["pack"], setup["y"], setup["gwas"], setup["lpS"],
+        setup["chrs"], setup["pos"])
+    betas = gwas["estim"].to_numpy()
+    all_keep, grid = snp_grid_clumping(
+        pack, chrs, pos, lpS, grid_thr_r2=(0.1, 0.5), grid_base_size=(100,))
+
+    ram = snp_grid_PRS(pack, all_keep, betas, lpS, n_thr_lpS=10)
+    bf = tmp_path / "multi_prs"
+    disk = snp_grid_PRS(pack, all_keep, betas, lpS, n_thr_lpS=10,
+                        backingfile=bf)
+    assert disk.backingfile.endswith(".npy")
+    assert isinstance(disk.scores, np.memmap)
+    np.testing.assert_array_equal(np.asarray(disk.scores), ram.scores)
+
+    # refusing to overwrite an existing store
+    with pytest.raises(FileExistsError):
+        snp_grid_PRS(pack, all_keep, betas, lpS, n_thr_lpS=10,
+                     backingfile=bf)
+
+    meta = disk.save(tmp_path / "multi_prs")
+    back = type(disk).load(meta)
+    np.testing.assert_array_equal(np.asarray(back.scores), ram.scores)
+    np.testing.assert_array_equal(back.grid_lpS_thr, disk.grid_lpS_thr)
+    assert sorted(back.all_keep) == sorted(disk.all_keep)
+    for c in disk.all_keep:
+        for a, b in zip(back.all_keep[c], disk.all_keep[c]):
+            np.testing.assert_array_equal(a, b)
+
+    # stacking works unchanged on the memmapped store
+    res = snp_grid_stacking(back, y, alphas=(1.0,), K=5, nlambda=30)
+    assert np.isfinite(res["beta.G"]).all()
+
+    # relocatable: move both files to a new dir, load by meta path
+    import shutil
+
+    newdir = tmp_path / "moved"
+    newdir.mkdir()
+    shutil.move(str(disk.backingfile), newdir / "multi_prs.npy")
+    shutil.move(meta, newdir / "multi_prs.meta.npz")
+    again = type(disk).load(newdir / "multi_prs.meta.npz")
+    np.testing.assert_array_equal(np.asarray(again.scores), ram.scores)
