@@ -12,8 +12,10 @@ from scipy import stats as scipy_stats
 
 from bigsnpr_tpu.ops.matvec import snp_prodVec
 from bigsnpr_tpu.ops.stats import snp_colstats
+from bigsnpr_tpu.utils.assertions import check_args
 
 
+@check_args()
 def snp_simuPheno(pack, h2: float, M: int, K: float | None = None,
                   alpha: float = -1.0, ind_row=None, ind_possible=None,
                   prob=None, effects_dist: str = "gaussian",

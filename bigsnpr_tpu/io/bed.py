@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 
 from bigsnpr_tpu.core.genotypes import GenoPack, FAM_COLS, MAP_COLS
+from bigsnpr_tpu.utils.assertions import check_args
 
 _BED_MAGIC = bytes([0x6C, 0x1B, 0x01])
 
@@ -59,6 +60,7 @@ def read_bed(bedfile, mmap: bool = True) -> GenoPack:
     return GenoPack(packed=packed, n=n, fam=fam, map=bim)
 
 
+@check_args()
 def snp_readBed(bedfile, backingfile=None, mmap: bool = True) -> GenoPack:
     """Read and (optionally) persist as a .gpk store (reference snp_readBed)."""
     pack = read_bed(bedfile, mmap=mmap)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+from bigsnpr_tpu.utils.assertions import check_args
 
 from bigsnpr_tpu.ops.matvec import snp_prodVec, snp_cprodVec
 from bigsnpr_tpu.ops.stats import bed_scaleBinom
@@ -141,6 +142,7 @@ def _device_krylov(op, n, m, k, l, tol, max_depth, seed, verbose):
             np.asarray(v, np.float64), niter)
 
 
+@check_args()
 def snp_randomSVD(
     pack,
     fun_scaling=bed_scaleBinom,

@@ -22,6 +22,7 @@ coincide on complete data (the supported/obvious use).
 from __future__ import annotations
 
 import numpy as np
+from bigsnpr_tpu.utils.assertions import check_args
 
 from bigsnpr_tpu.ops.corr import _iter_band_blocks, _pair_r, _window_geometry
 from bigsnpr_tpu.ops.stats import snp_colstats
@@ -78,6 +79,7 @@ def _greedy_fixed_point(m, rank, ei, ej):
     return keep == 1
 
 
+@check_args()
 def snp_clumping(
     pack,
     infos_chr=None,

@@ -26,6 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from bigsnpr_tpu.utils.assertions import check_args
 import scipy.sparse as sp
 from scipy import stats as scipy_stats
 
@@ -334,6 +335,7 @@ def cor_thresholds(n, alpha):
     return thr
 
 
+@check_args()
 def snp_cor(
     pack,
     ind_row=None,

@@ -10,6 +10,7 @@ intervals as LRLD regions } until convergence or max_iter.
 from __future__ import annotations
 
 import numpy as np
+from bigsnpr_tpu.utils.assertions import check_args
 import pandas as pd
 
 from bigsnpr_tpu.linalg.randomsvd import snp_randomSVD, BigSVD
@@ -31,6 +32,7 @@ def get_intervals(x: np.ndarray, n: int = 2) -> np.ndarray:
     return np.stack([x[starts[keep]], x[stops[keep]]], axis=1)
 
 
+@check_args()
 def snp_autoSVD(
     pack,
     infos_chr=None,

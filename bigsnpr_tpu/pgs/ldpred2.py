@@ -21,6 +21,7 @@ from bigsnpr_tpu.ops.corr import SparseLD
 from bigsnpr_tpu.ops.ldscores import ld_scores_sfbm
 from bigsnpr_tpu.pgs.band import build_band
 from bigsnpr_tpu.pgs import gibbs
+from bigsnpr_tpu.utils.assertions import check_args
 
 
 def _x64_ctx(dtype):
@@ -44,6 +45,7 @@ def _df_beta_arrays(df_beta):
     return beta / scale, n_eff, scale
 
 
+@check_args()
 def snp_ldpred2_inf(corr: SparseLD, df_beta, h2: float) -> np.ndarray:
     """Infinitesimal model: solve (R + m/(h2 N) I) x = beta_hat on the
     sparse LD (reference snp_ldpred2_inf, R/LDpred2.R:27-42). Deterministic;
@@ -88,6 +90,7 @@ def _prep_sampler(corr, beta_hat, N, ind_corr, dtype=np.float32):
             W, m2)
 
 
+@check_args()
 def snp_ldpred2_grid(corr: SparseLD, df_beta, grid_param,
                      burn_in: int = 50, num_iter: int = 100,
                      return_sampling_betas: bool = False,
@@ -160,6 +163,7 @@ def _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in, num_iter,
     return np.asarray(out).T * scale[:, None]
 
 
+@check_args()
 def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
                      vec_p_init=0.1, burn_in: int = 500, num_iter: int = 200,
                      sparse: bool = False, report_step: int | None = None,

@@ -13,6 +13,7 @@ import numpy as np
 from scipy import stats as scipy_stats
 
 from bigsnpr_tpu.ops.matvec import snp_prodVec
+from bigsnpr_tpu.utils.assertions import check_args
 
 
 def _prod_vec_rev(pack, betas, same, ind_keep):
@@ -28,6 +29,7 @@ def _prod_vec_rev(pack, betas, same, ind_keep):
     return score + 2 * betas[~same].sum()
 
 
+@check_args()
 def snp_PRS(pack, betas_keep, ind_test=None, ind_keep=None, same_keep=None,
             lpS_keep=None, thr_list=0):
     """Returns (len(ind_test), len(thr_list)) score matrix."""
