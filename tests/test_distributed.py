@@ -123,3 +123,23 @@ def test_bed_shard_bytes_roundtrip():
     glued = np.concatenate([p[0] for p in parts], axis=1)
     np.testing.assert_array_equal(glued, full)
     assert parts[0][3] == full.shape[1]
+
+
+def test_autosvd_mesh_engine_parity():
+    """snp_autoSVD driven through the sharded MeshOperator (virtual
+    8-device mesh from conftest) must reproduce the default engine's
+    result: same subset, same singular values (VERDICT #5)."""
+    from bigsnpr_tpu import snp_fake
+    from bigsnpr_tpu.pca.autosvd import snp_autoSVD
+
+    pack = snp_fake(300, 600, seed=11)
+    pos = np.arange(600) * 1000.0
+    chrs = np.ones(600, dtype=int)
+    kw = dict(infos_chr=chrs, infos_pos=pos, k=4, thr_r2=0.5, max_iter=2)
+    ref = snp_autoSVD(pack, **kw)
+    mesh = snp_autoSVD(pack, svd_kwargs={"engine": "mesh", "tol": 1e-7},
+                       **kw)
+    np.testing.assert_array_equal(ref.subset, mesh.subset)
+    np.testing.assert_allclose(mesh.d, ref.d, rtol=5e-3)
+    cos = np.abs(np.sum(ref.u * mesh.u, axis=0))
+    assert cos.min() > 0.98, cos
