@@ -56,6 +56,83 @@ def _decode_tile(pb, c_row, s_row):
     return jnp.concatenate(planes, axis=1)
 
 
+def _decode_int_planes(pb32):
+    """(TM, TNB) int32 bytes -> (T, NA) integer planes (TM, TN) bf16.
+
+    The standardized value decomposes as
+        x̃ = A - B·t - A·na,   A = (2-c)/scale, B = 1/scale,
+    with t = b1 + (b0 & b1) ∈ {0,1,2} and na = b0 & ~b1 ∈ {0,1} from the
+    two PLINK bits — small integers, EXACT in bf16. This turns the
+    f32-HIGHEST GEMM (6 MXU passes) into single-pass bf16 GEMMs against
+    the integer planes."""
+    T_planes, NA_planes = [], []
+    for k in range(4):
+        b0 = (pb32 >> (2 * k)) & 1
+        b1 = (pb32 >> (2 * k + 1)) & 1
+        u = b0 & b1
+        T_planes.append((b1 + u).astype(jnp.bfloat16))
+        NA_planes.append((b0 - u).astype(jnp.bfloat16))
+    return (jnp.concatenate(T_planes, axis=1),
+            jnp.concatenate(NA_planes, axis=1))
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_t(a, b):
+    """(l, TN) x (TM, TN) -> (l, TM), f32 accumulation."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _cprod_kernel_split(pb_ref, q_ref, cs_ref, out_ref):
+    """cprod via exact-integer bf16 bit-plane GEMMs; Q split hi+lo keeps
+    ~f32 accuracy at 4 single-pass matmuls (vs 6 passes for HIGHEST)."""
+    j = pl.program_id(1)
+    c_row = cs_ref[0, :]
+    s_row = cs_ref[1, :]
+    T, NA = _decode_int_planes(pb_ref[...].astype(jnp.int32))
+    q = q_ref[...]
+    q_hi, q_lo = _split_bf16(q)
+    pt = _dot_t(q_hi, T) + _dot_t(q_lo, T)      # (l, TM)
+    pna = _dot_t(q_hi, NA) + _dot_t(q_lo, NA)
+    qsum = jnp.sum(q, axis=1, keepdims=True)    # (l, 1)
+    A = (2.0 - c_row) * s_row                   # (TM,)
+    part = (qsum - pna) * A[None, :] - pt * s_row[None, :]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
+def _prod_kernel_split(pb_ref, z_ref, cs_ref, out_ref):
+    i = pl.program_id(1)
+    c_row = cs_ref[0, :]
+    s_row = cs_ref[1, :]
+    T, NA = _decode_int_planes(pb_ref[...].astype(jnp.int32))
+    z = z_ref[...]                               # (l, TM)
+    zA = z * ((2.0 - c_row) * s_row)[None, :]
+    zB = z * s_row[None, :]
+    zA_hi, zA_lo = _split_bf16(zA)
+    zB_hi, zB_lo = _split_bf16(zB)
+    pt = jnp.dot(zB_hi, T, preferred_element_type=jnp.float32) + \
+        jnp.dot(zB_lo, T, preferred_element_type=jnp.float32)
+    pna = jnp.dot(zA_hi, NA, preferred_element_type=jnp.float32) + \
+        jnp.dot(zA_lo, NA, preferred_element_type=jnp.float32)
+    part = jnp.sum(zA, axis=1, keepdims=True) - pna - pt  # (l, TN)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
 def _cprod_kernel(pb_ref, q_ref, cs_ref, out_ref):
     j = pl.program_id(1)
     c_row = cs_ref[0, :].reshape(-1, 1)
@@ -73,16 +150,20 @@ def _cprod_kernel(pb_ref, q_ref, cs_ref, out_ref):
     out_ref[...] += part
 
 
-@partial(jax.jit, static_argnames=("interpret", "tm"))
-def pallas_cprod(packed, Qp, cs, interpret=False, tm=TM):
+@partial(jax.jit, static_argnames=("interpret", "tm", "mxu"))
+def pallas_cprod(packed, Qp, cs, interpret=False, tm=TM, mxu="highest"):
     """X̃ᵀ-product: (m, nb) packed, Qp (l, n_pad) permuted, cs (2+, m)
     [center; 1/scale] -> (l, m). l must be a multiple of 8; m a multiple
-    of the variant tile `tm` (tunable, default TM)."""
+    of the variant tile `tm` (tunable, default TM).
+
+    mxu: "highest" = f32 6-pass GEMM on the decoded tile; "split2" =
+    exact-integer bf16 bit-plane GEMMs with hi/lo-split Q (~f32-accurate,
+    4 single passes)."""
     m, nb = packed.shape
     l = Qp.shape[0]
     grid = (m // tm, nb // TNB)
     return pl.pallas_call(
-        _cprod_kernel,
+        _cprod_kernel_split if mxu == "split2" else _cprod_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, TNB), lambda i, j: (i, j)),
@@ -110,14 +191,14 @@ def _prod_kernel(pb_ref, z_ref, cs_ref, out_ref):
     out_ref[...] += part
 
 
-@partial(jax.jit, static_argnames=("interpret", "tm"))
-def pallas_prod(packed, Zt, cs, interpret=False, tm=TM):
+@partial(jax.jit, static_argnames=("interpret", "tm", "mxu"))
+def pallas_prod(packed, Zt, cs, interpret=False, tm=TM, mxu="highest"):
     """X̃-product: Zt (l, m) -> (l, n_pad) permuted-sample outputs."""
     m, nb = packed.shape
     l = Zt.shape[0]
     grid = (nb // TNB, m // tm)
     return pl.pallas_call(
-        _prod_kernel,
+        _prod_kernel_split if mxu == "split2" else _prod_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, TNB), lambda j, i: (i, j)),
@@ -130,38 +211,41 @@ def pallas_prod(packed, Zt, cs, interpret=False, tm=TM):
     )(packed, Zt, cs)
 
 
-@partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret"))
-def _cprod_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret):
+@partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret", "mxu"))
+def _cprod_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret,
+               mxu="highest"):
     """Scatter V (n_sub, l) into kernel sample order, run cprod, gather
     the ind_col rows on device -> (m_sub, l). One device round-trip."""
     l = V.shape[1]
     Qk = jnp.zeros((n_pad, l_pad), jnp.float32).at[row_pos, :l].set(V)
-    out = pallas_cprod(packed, Qk.T, cs, interpret=interpret)
+    out = pallas_cprod(packed, Qk.T, cs, interpret=interpret, mxu=mxu)
     return out[:l][:, col_idx].T
 
 
-@partial(jax.jit, static_argnames=("l_pad", "interpret"))
-def _prod_sub(packed, cs, U, row_pos, col_idx, l_pad, interpret):
+@partial(jax.jit, static_argnames=("l_pad", "interpret", "mxu"))
+def _prod_sub(packed, cs, U, row_pos, col_idx, l_pad, interpret,
+              mxu="highest"):
     """Scatter U (m_sub, l) into full variant space, run prod, gather
     the ind_row samples on device -> (n_sub, l)."""
     l = U.shape[1]
     m_pad = packed.shape[0]
     Zk = jnp.zeros((m_pad, l_pad), jnp.float32).at[col_idx, :l].set(U)
-    out = pallas_prod(packed, Zk.T, cs, interpret=interpret)
+    out = pallas_prod(packed, Zk.T, cs, interpret=interpret, mxu=mxu)
     return out[:l].T[row_pos]
 
 
-@partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret"))
-def _power_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret):
+@partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret", "mxu"))
+def _power_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret,
+               mxu="highest"):
     """Fused power step: one device program computing B = X̃ᵀV (gathered
     to ind_col) and Y = X̃·mask(B) (gathered to ind_row); the wide
     intermediate never crosses the host link."""
     l = V.shape[1]
     Qk = jnp.zeros((n_pad, l_pad), jnp.float32).at[row_pos, :l].set(V)
-    B = pallas_cprod(packed, Qk.T, cs, interpret=interpret)   # (l_pad, m_pad)
+    B = pallas_cprod(packed, Qk.T, cs, interpret=interpret, mxu=mxu)
     m_pad = packed.shape[0]
     Bm = jnp.zeros((m_pad, l_pad), jnp.float32).at[col_idx].set(B.T[col_idx])
-    Y = pallas_prod(packed, Bm.T, cs, interpret=interpret)    # (l_pad, n_pad)
+    Y = pallas_prod(packed, Bm.T, cs, interpret=interpret, mxu=mxu)
     return B[:l][:, col_idx].T, Y[:l].T[row_pos]
 
 
@@ -177,12 +261,13 @@ class PallasOperator:
     """
 
     def __init__(self, pack, center, scale, interpret: bool | None = None,
-                 ind_row=None, ind_col=None):
+                 ind_row=None, ind_col=None, mxu: str = "highest"):
         m, nb = pack.packed.shape
         n = pack.n
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
+        self.mxu = mxu  # "highest" | "split2" (exact-int bf16 bit planes)
 
         m_pad = -(-m // TM) * TM
         nb_pad = -(-nb // TNB) * TNB
@@ -233,7 +318,7 @@ class PallasOperator:
         l_pad = V.shape[1] + (-V.shape[1]) % 8
         out = np.asarray(_cprod_sub(self.packed, self.cs, V, self.row_pos,
                                     self.col_idx, self.n_pad, l_pad,
-                                    self.interpret))
+                                    self.interpret, self.mxu))
         return out[:, 0] if squeeze else out
 
     def prod(self, U):
@@ -241,7 +326,8 @@ class PallasOperator:
         U, squeeze = self._as_2d(U)
         l_pad = U.shape[1] + (-U.shape[1]) % 8
         out = np.asarray(_prod_sub(self.packed, self.cs, U, self.row_pos,
-                                   self.col_idx, l_pad, self.interpret))
+                                   self.col_idx, l_pad, self.interpret,
+                                   self.mxu))
         return out[:, 0] if squeeze else out
 
     def power(self, V):
@@ -255,4 +341,5 @@ class PallasOperator:
         no host transfer (for fully on-device Krylov drivers)."""
         l_pad = V.shape[1] + (-V.shape[1]) % 8
         return _power_sub(self.packed, self.cs, V, self.row_pos,
-                          self.col_idx, self.n_pad, l_pad, self.interpret)
+                          self.col_idx, self.n_pad, l_pad, self.interpret,
+                          self.mxu)

@@ -110,6 +110,15 @@ def assert_one_number(x, name="x"):
         _fail("'%s' must be one finite number.", name)
 
 
+def assert_one_number_or_na(x, name="x"):
+    """Like assert_one_number but NA/NaN allowed (e.g. thr_r2=NaN skips
+    clumping in the reference, R/autoSVD.R:107)."""
+    if x is None:
+        return
+    if np.ndim(x) != 0:
+        _fail("'%s' must be one number (or NA).", name)
+
+
 def assert_one_int(x, name="x"):
     assert_one_number(x, name)
     if x is not None and float(x) != int(x):
@@ -132,6 +141,8 @@ def assert_ext(path, ext, name="file"):
 
 
 def assert_pack(x, name="pack"):
+    if x is None:
+        return  # legitimate when a pre-built operator is supplied (op=)
     if not (hasattr(x, "packed") or hasattr(x, "codes")) or not hasattr(x, "n"):
         _fail("'%s' is not a GenoPack/DosagePack.", name)
 
@@ -189,7 +200,7 @@ CONTRACTS = {
     "fun_scaling": assert_scaling_fun,
     "y01_train": assert_01,
     "k": assert_one_int,
-    "thr_r2": assert_one_number,
+    "thr_r2": assert_one_number_or_na,
     "h2_init": assert_one_number,
     "burn_in": assert_one_int,
     "num_iter": assert_one_int,

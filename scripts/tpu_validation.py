@@ -58,9 +58,12 @@ def main(quick=False, sweep=False):
     rng = np.random.default_rng(0)
     pack = GenoPack(
         packed=rng.integers(0, 256, size=(m, n // 4), dtype=np.uint8), n=n)
-    sc = bed_scaleBinom(pack)
-    center = np.asarray(sc["center"])
-    scale = np.where(np.asarray(sc["scale"]) > 0, np.asarray(sc["scale"]), 1)
+    # synthetic center/scale, like bench.py: bed_scaleBinom on a 512 MB
+    # random pack routes a full device colstats pass BEFORE the first
+    # timing and wedged the tunnel once (round-2 postmortem) — the
+    # throughput numbers do not depend on the scaling values.
+    center = rng.uniform(0.2, 1.8, m)
+    scale = rng.uniform(0.3, 1.0, m)
     Q0 = rng.standard_normal((n, l)).astype(np.float32)
 
     # 1. operator power-iter, fully device-chained via power_dev

@@ -118,3 +118,38 @@ def test_randomsvd_masked_subset_parity():
     np.testing.assert_allclose(svd.d, s[:5], rtol=1e-4)
     cos = np.abs(np.sum(svd.u * u[:, :5], axis=0))
     np.testing.assert_allclose(cos, 1.0, atol=1e-3)
+
+
+def test_split2_mxu_parity():
+    """Exact-integer bf16 bit-plane kernels (mxu='split2') match the
+    f64 oracle to ~1e-5 rel — the integer planes are exact in bf16,
+    only the hi/lo Q split rounds (4 single MXU passes vs 6)."""
+    import jax.numpy as jnp
+
+    from bigsnpr_tpu.core import unpack
+    from bigsnpr_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(3)
+    m, n, l = 512, 2048, 8
+    packed = rng.integers(0, 256, size=(m, n // 4), dtype=np.uint8)
+    center = rng.uniform(0.2, 1.8, m)
+    scale = rng.uniform(0.3, 1.0, m)
+
+    codes = unpack.np_unpack_codes(packed, n)
+    na = codes == 1
+    d = np.where(na, 0, 2 - ((codes.astype(int) + 1) >> 1)).astype(float)
+    xt = np.where(na, 0.0, (d - center[:, None]) / scale[:, None])
+
+    from bigsnpr_tpu.core.genotypes import GenoPack
+
+    pack = GenoPack(packed=packed, n=n)
+    op = pk.PallasOperator(pack, center, scale, interpret=True,
+                           mxu="split2")
+    V = rng.standard_normal((n, l)).astype(np.float32)
+    B = op.cprod(V)
+    ref = xt @ V
+    assert np.abs(B - ref).max() / np.abs(ref).max() < 2e-5
+    U = rng.standard_normal((m, l)).astype(np.float32)
+    Y = op.prod(U)
+    ref2 = xt.T @ U
+    assert np.abs(Y - ref2).max() / np.abs(ref2).max() < 2e-5
