@@ -146,26 +146,33 @@ def _measure(size_name):
 
             from functools import partial
 
-            @partial(jax.jit, static_argnames=("tm",))
-            def pallas_step_arg(packed, csj, permj, inv_perm, Q, tm):
+            @partial(jax.jit, static_argnames=("tm", "mxu"))
+            def pallas_step_arg(packed, csj, permj, inv_perm, Q, tm, mxu):
                 Qp = (Q[:, :l] * 1e-3).T[:, permj]      # (l, n) permuted
-                Zt = pk.pallas_cprod(packed, Qp, csj, tm=tm)   # (l, m)
-                Yt = pk.pallas_prod(packed, Zt, csj, tm=tm)    # (l, n)
+                Zt = pk.pallas_cprod(packed, Qp, csj, tm=tm, mxu=mxu)
+                Yt = pk.pallas_prod(packed, Zt, csj, tm=tm, mxu=mxu)
                 return Yt[:, inv_perm].T
 
-            best_dt, best_tm = None, None
-            for tm in (512, 256):
-                def pallas_step(Q, tm=tm):
+            best_dt, best_cfg = None, None
+            for tm, mxu in ((512, "split2"), (512, "highest"),
+                            (256, "highest")):
+                def pallas_step(Q, tm=tm, mxu=mxu):
                     return pallas_step_arg(packed, csj, permj, inv_perm,
-                                           Q, tm)
+                                           Q, tm, mxu)
 
-                dt_p = timeit(pallas_step, Q0, iters)
-                log(f"pallas[tm={tm}]: {dt_p*1e3:.1f} ms/iter -> "
+                try:
+                    dt_p = timeit(pallas_step, Q0, iters)
+                except Exception as e:  # noqa: BLE001 - per-config report
+                    log(f"pallas[tm={tm},{mxu}] FAILED: "
+                        f"{type(e).__name__}: {e}")
+                    continue
+                log(f"pallas[tm={tm},{mxu}]: {dt_p*1e3:.1f} ms/iter -> "
                     f"{2.0*m*n/dt_p/1e9:.1f} GVS")
                 if best_dt is None or dt_p < best_dt:
-                    best_dt, best_tm = dt_p, tm
-            results["gvs_pallas"] = round(2.0 * m * n / best_dt / 1e9, 2)
-            results["pallas_tm"] = best_tm
+                    best_dt, best_cfg = dt_p, (tm, mxu)
+            if best_dt is not None:
+                results["gvs_pallas"] = round(2.0 * m * n / best_dt / 1e9, 2)
+                results["pallas_tm"], results["pallas_mxu"] = best_cfg
         except Exception as e:  # noqa: BLE001 - reported, not swallowed
             log(f"pallas path FAILED: {type(e).__name__}: {e}")
             results["error_pallas"] = f"{type(e).__name__}: {e}"[:200]

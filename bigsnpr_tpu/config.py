@@ -1,10 +1,22 @@
-"""Global numeric configuration.
+"""Global configuration / flag system.
 
-TPU MXU f32 matmuls default to bf16 passes; parity with the reference's
-double-precision C++ kernels needs full-precision accumulation. Ops read
-`matmul_precision` at trace time; set to "default" to trade accuracy for
-~3-6x matmul throughput on TPU (e.g. for exploratory runs and benches).
+The reference's knobs are two global options plus env vars
+(options(bigstatsr.check.args), BIGSNPR_CRAN — SURVEY.md §5 config row);
+here every option lives in one table with env-var overrides
+(BIGSNPR_<NAME>) and a scoped `options()` context manager.
+
+- matmul_precision: TPU MXU f32 matmuls default to bf16 passes; parity
+  with the reference's double-precision C++ kernels needs
+  full-precision accumulation. Ops read it at trace time; "default"
+  trades accuracy for ~3-6x matmul throughput.
+- check_args: gates the declarative argument-contract table
+  (utils/assertions.py).
+- pallas_mxu: MXU scheme of the fused decode+GEMM kernels
+  ("highest" = 6-pass f32; "split2" = exact-integer bf16 bit planes).
 """
+
+import os
+from contextlib import contextmanager
 
 import jax.lax
 
@@ -14,7 +26,8 @@ _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
 }
 
-matmul_precision: str = "highest"
+matmul_precision: str = os.environ.get("BIGSNPR_MATMUL_PRECISION", "highest")
+pallas_mxu: str = os.environ.get("BIGSNPR_PALLAS_MXU", "highest")
 
 
 def set_matmul_precision(name: str) -> None:
@@ -25,3 +38,43 @@ def set_matmul_precision(name: str) -> None:
 
 def dot_precision():
     return _PRECISIONS[matmul_precision]
+
+
+def get_option(name: str):
+    from bigsnpr_tpu.utils import assertions
+
+    if name == "matmul_precision":
+        return matmul_precision
+    if name == "pallas_mxu":
+        return pallas_mxu
+    if name == "check_args":
+        return assertions.get_check_args()
+    raise KeyError(name)
+
+
+def set_option(name: str, value) -> None:
+    global pallas_mxu
+    from bigsnpr_tpu.utils import assertions
+
+    if name == "matmul_precision":
+        set_matmul_precision(value)
+    elif name == "pallas_mxu":
+        assert value in ("highest", "split2"), value
+        pallas_mxu = value
+    elif name == "check_args":
+        assertions.set_check_args(bool(value))
+    else:
+        raise KeyError(name)
+
+
+@contextmanager
+def options(**kw):
+    """Scoped option override: with options(matmul_precision='default'):"""
+    old = {k: get_option(k) for k in kw}
+    try:
+        for k, v in kw.items():
+            set_option(k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            set_option(k, v)

@@ -261,13 +261,17 @@ class PallasOperator:
     """
 
     def __init__(self, pack, center, scale, interpret: bool | None = None,
-                 ind_row=None, ind_col=None, mxu: str = "highest"):
+                 ind_row=None, ind_col=None, mxu: str | None = None):
+        from bigsnpr_tpu import config
+
         m, nb = pack.packed.shape
         n = pack.n
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
-        self.mxu = mxu  # "highest" | "split2" (exact-int bf16 bit planes)
+        # "highest" | "split2" (exact-int bf16 bit planes); default from
+        # config.pallas_mxu (env BIGSNPR_PALLAS_MXU)
+        self.mxu = mxu if mxu is not None else config.pallas_mxu
 
         m_pad = -(-m // TM) * TM
         nb_pad = -(-nb // TNB) * TNB

@@ -89,3 +89,19 @@ def test_contract_table_is_declarative():
     # the table is data, keyed by canonical argument names
     assert "ind_row" in CONTRACTS and "pack" in CONTRACTS
     assert callable(CONTRACTS["df_beta"])
+
+
+def test_config_options_context():
+    from bigsnpr_tpu import config
+
+    assert config.get_option("matmul_precision") == "highest"
+    with config.options(matmul_precision="default", check_args=False,
+                        pallas_mxu="split2"):
+        assert config.get_option("matmul_precision") == "default"
+        assert config.get_option("check_args") is False
+        assert config.pallas_mxu == "split2"
+    assert config.get_option("matmul_precision") == "highest"
+    assert config.get_option("check_args") is True
+    assert config.pallas_mxu == "highest"
+    with pytest.raises(KeyError):
+        config.get_option("nope")
