@@ -175,8 +175,8 @@ def snp_randomSVD(
     has_pack = (op is None and hasattr(pack, "packed")
                 and hasattr(pack, "device_packed_padded"))
     on_tpu = jax.default_backend() == "tpu"
-    want_mesh = engine == "mesh" or (engine == "auto" and on_tpu
-                                     and len(jax.devices()) > 1)
+    want_mesh = engine in ("mesh", "mesh-device") or (
+        engine == "auto" and on_tpu and len(jax.devices()) > 1)
     sub = None
     if op is not None:
         sc = fun_scaling(op) if callable(fun_scaling) else fun_scaling
@@ -226,7 +226,8 @@ def snp_randomSVD(
 
     l0 = min(k + oversample, min(n, m))
     if (op is not None and hasattr(op, "power_dev")
-            and (engine == "device" or (on_tpu and engine != "host"))):
+            and (engine in ("device", "mesh-device")
+                 or (on_tpu and engine != "host"))):
         # on-chip Krylov: avoids per-depth host-link latency (the
         # dominant cost over a tunneled TPU)
         max_depth = max(2, min(max_iter, -(-min(n, m) // l0), 64))

@@ -260,6 +260,19 @@ class MeshOperator:
                            self.center, self.scale)
         return fetch_global(B)[:self.m], fetch_global(Y)[:self.n]
 
+    def power_dev(self, V):
+        """Traceable device-resident power step: V (n, l) jnp ->
+        (B (m, l), Y (n, l)) jnp, no host transfer — lets the
+        device-resident Krylov driver (linalg/randomsvd._device_krylov)
+        run its whole loop on the mesh (only Ritz values cross the
+        link per depth). Padding rows are all-NA (decode to 0), so the
+        padded operator has identical non-zero spectrum."""
+        l = V.shape[1]
+        Vp = jnp.zeros((self.n_pad, l), jnp.float32)
+        Vp = jax.lax.dynamic_update_slice(Vp, V.astype(jnp.float32), (0, 0))
+        B, Y = self._power(self.packed, Vp, self.center, self.scale)
+        return B[:self.m], Y[:self.n]
+
 
 def colstats_fn(mesh: Mesh):
     """Jitted sharded per-variant (sum, ssq, nona) with psum over samples."""

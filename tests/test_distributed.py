@@ -143,3 +143,30 @@ def test_autosvd_mesh_engine_parity():
     np.testing.assert_allclose(mesh.d, ref.d, rtol=5e-3)
     cos = np.abs(np.sum(ref.u * mesh.u, axis=0))
     assert cos.min() > 0.98, cos
+
+
+def test_mesh_device_krylov():
+    """engine='mesh-device': the device-resident Krylov loop runs
+    entirely over the sharded MeshOperator (power_dev on the mesh);
+    only Ritz values cross the link per depth. Parity vs dense SVD."""
+    from bigsnpr_tpu import snp_fake
+    from bigsnpr_tpu.linalg.randomsvd import snp_randomSVD
+    from bigsnpr_tpu.ops.stats import bed_scaleBinom
+
+    pack = snp_fake(256, 512, seed=4, na_prob=0.02)
+    svd = snp_randomSVD(pack, k=5, tol=1e-7, engine="mesh-device")
+
+    sc = bed_scaleBinom(pack)
+    c = np.asarray(sc["center"], float)
+    s = np.asarray(sc["scale"], float)
+    D = pack.to_dosage()
+    Xt = np.where(np.isnan(D), 0.0,
+                  (D - np.where(s > 0, c, 2.0)) / np.where(s > 0, s, 1.0))
+    d_ref = np.linalg.svd(Xt, compute_uv=False)[:5]
+    np.testing.assert_allclose(svd.d, d_ref, rtol=2e-4)
+    pc = svd.u * svd.d
+    u, dd, _ = np.linalg.svd(Xt, full_matrices=False)
+    cos = np.abs(np.sum(pc * (u[:, :5] * dd[:5]), axis=0)) / (
+        np.linalg.norm(pc, axis=0)
+        * np.linalg.norm(u[:, :5] * dd[:5], axis=0))
+    assert cos[:3].min() > 0.999, cos
