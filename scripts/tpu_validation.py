@@ -9,6 +9,10 @@ Measures (with data-dependent chained timing):
   5. snp_cor device-compaction throughput
 
 Usage: python scripts/tpu_validation.py [--quick] [--sweep]
+       (default: supervised mode — each section runs in its own
+        subprocess with a timeout, so one wedged transfer cannot take
+        down the suite; --inline for the old single-process run;
+        --part {power,sweep,svd,gibbs,cor} runs one section)
 """
 
 import os
@@ -42,7 +46,7 @@ def timeit_chained(step, x0, iters=10):
     return max(time.perf_counter() - t0 - fetch_s, 1e-9) / iters
 
 
-def main(quick=False, sweep=False):
+def main(quick=False, sweep=False, parts=None):
     import jax
     import jax.numpy as jnp
 
@@ -66,11 +70,15 @@ def main(quick=False, sweep=False):
     scale = rng.uniform(0.3, 1.0, m)
     Q0 = rng.standard_normal((n, l)).astype(np.float32)
 
+    parts = parts or {"power", "sweep", "svd", "gibbs", "cor"}
+
     # 1. operator power-iter, fully device-chained via power_dev
     ops = {"xla": XlaOperator(pack, center, scale),
-           "pallas": pk.PallasOperator(pack, center, scale)}
+           "pallas": pk.PallasOperator(pack, center, scale),
+           "pallas-split2": pk.PallasOperator(pack, center, scale,
+                                              mxu="split2")}
     base = {}
-    for name, op in ops.items():
+    for name, op in (ops.items() if "power" in parts else ()):
         def step(Q, op=op):
             _, Y = op.power_dev(Q * 1e-3)
             return Y
@@ -88,34 +96,47 @@ def main(quick=False, sweep=False):
         dt_h = timeit_chained(step_h, Q0, iters=3)
         print(f"{name} power-iter via host: {dt_h*1e3:.1f} ms")
 
-    # 2. TM sweep (Pallas)
-    if sweep:
+    # 2. (TM, mxu) sweep (Pallas)
+    if sweep and "sweep" in parts:
         op = ops["pallas"]
-        for tm in (128, 256, 512, 1024):
-            if op.packed.shape[0] % tm:
-                continue
+        for mxu in ("highest", "split2"):
+            for tm in (128, 256, 512, 1024):
+                if op.packed.shape[0] % tm:
+                    continue
 
-            def step(Q, tm=tm):
-                Qk = jnp.zeros((op.n_pad, l), jnp.float32).at[
-                    op.row_pos].set(Q * 1e-3)
-                B = pk.pallas_cprod(op.packed, Qk.T, op.cs, tm=tm)
-                Y = pk.pallas_prod(op.packed, B, op.cs, tm=tm)
-                return Y[:l].T[op.row_pos]
+                def step(Q, tm=tm, mxu=mxu):
+                    Qk = jnp.zeros((op.n_pad, l), jnp.float32).at[
+                        op.row_pos].set(Q * 1e-3)
+                    B = pk.pallas_cprod(op.packed, Qk.T, op.cs, tm=tm,
+                                        mxu=mxu)
+                    Y = pk.pallas_prod(op.packed, B, op.cs, tm=tm, mxu=mxu)
+                    return Y[:l].T[op.row_pos]
 
-            dt = timeit_chained(step, jnp.asarray(Q0), iters=5)
-            print(f"  TM={tm}: {dt*1e3:.1f} ms -> "
-                  f"{2*m*n/dt/1e9:.0f} G visits/s")
+                dt = timeit_chained(step, jnp.asarray(Q0), iters=5)
+                print(f"  TM={tm} {mxu}: {dt*1e3:.1f} ms -> "
+                      f"{2*m*n/dt/1e9:.0f} G visits/s")
 
     # 3. SVD wall time
     from bigsnpr_tpu.linalg.randomsvd import snp_randomSVD
 
-    for engine in ("xla", "pallas"):
+    for engine in (("xla", "pallas") if "svd" in parts else ()):
         t0 = time.perf_counter()
         svd = snp_randomSVD(pack, k=10, tol=1e-4, engine=engine)
         print(f"randomSVD[{engine}]: {time.perf_counter()-t0:.1f}s "
               f"depth={svd.niter}")
 
     # 4. Gibbs throughput
+    if "gibbs" in parts:
+        _gibbs_section(quick, rng)
+
+    # 5. snp_cor device compaction
+    if "cor" in parts:
+        _cor_section(quick, pack, n)
+
+    print("OK — update BENCH_NOTES.md with these numbers.")
+
+
+def _gibbs_section(quick, rng):
     import scipy.sparse as sp
     from bigsnpr_tpu.ops.corr import SparseLD
     from bigsnpr_tpu.pgs.ldpred2 import snp_ldpred2_grid
@@ -150,7 +171,9 @@ def main(quick=False, sweep=False):
     print(f"Gibbs block-parallel warm (excl. band build + compile): "
           f"{dt_blk2:.1f}s ({20*mg/dt_blk2/1e3:.0f} steps/ms)")
 
-    # 5. snp_cor device compaction
+
+def _cor_section(quick, pack, n):
+    from bigsnpr_tpu.core.genotypes import GenoPack
     from bigsnpr_tpu.ops.corr import snp_cor
 
     mc = 4096 if quick else 16384
@@ -160,8 +183,6 @@ def main(quick=False, sweep=False):
     dt = time.perf_counter() - t0
     print(f"snp_cor[device-compact] {mc}x{n}: {dt:.1f}s, "
           f"nnz={ld.upper.nnz} ({mc/dt:.0f} variants/s)")
-
-    print("OK — update BENCH_NOTES.md with these numbers.")
 
 
 def scale_run(m_scale=200_000, W=500, block=4096, sweeps=(100, 100)):
@@ -223,10 +244,40 @@ def scale_run(m_scale=200_000, W=500, block=4096, sweeps=(100, 100)):
     print(f"cor(beta_est, beta_true) = {r:.3f}")
 
 
+def supervised(quick, sweep):
+    """Each section in its own subprocess with a timeout: a wedged
+    transfer or compile loses one section, not the suite (round-2
+    postmortem: a single inline run sat 10 min in one transfer and the
+    watchdog kill wedged the tunnel)."""
+    import subprocess
+
+    sections = ["power"] + (["sweep"] if sweep else []) + \
+        ["svd", "gibbs", "cor"]
+    budget = {"power": 600, "sweep": 600, "svd": 420,
+              "gibbs": 600, "cor": 420}
+    for part in sections:
+        cmd = [sys.executable, os.path.abspath(__file__), "--inline",
+               "--part", part] + (["--quick"] if quick else []) + \
+            (["--sweep"] if sweep else [])
+        print(f"=== section {part} (timeout {budget[part]}s)", flush=True)
+        try:
+            rc = subprocess.run(cmd, timeout=budget[part]).returncode
+            if rc:
+                print(f"!!! section {part} exited rc={rc}", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"!!! section {part} TIMED OUT", flush=True)
+
+
 if __name__ == "__main__":
     if "--scale" in sys.argv:
         i = sys.argv.index("--scale")
         m_s = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 200_000
         scale_run(m_scale=m_s)
-    else:
+    elif "--part" in sys.argv:
+        i = sys.argv.index("--part")
+        main(quick="--quick" in sys.argv, sweep="--sweep" in sys.argv,
+             parts={sys.argv[i + 1]})
+    elif "--inline" in sys.argv:
         main(quick="--quick" in sys.argv, sweep="--sweep" in sys.argv)
+    else:
+        supervised(quick="--quick" in sys.argv, sweep="--sweep" in sys.argv)
