@@ -153,12 +153,90 @@ def _impute_block_fn(n: int, W: int, K: int, B: int, ridge: float):
     return jax.jit(fn)
 
 
+def _impute_block_boost_fn(n: int, W: int, K: int, B: int,
+                           n_rounds: int = 10, lr: float = 0.5,
+                           reg_lambda: float = 1.0):
+    """Gradient-boosted stumps on dosage CLASSES — the tree-class model
+    of the reference's xgboost path (R/impute.R:80-92, nrounds=10), made
+    TPU-shaped: because each neighbor feature only takes values
+    {0, 1, 2, NA}, the exhaustive stump search is closed-form — per
+    boosting round, per-class residual sums S_g / counts C_g (4 masked
+    contractions) score every (neighbor, threshold in {0.5, 1.5},
+    NA-direction) candidate at once; argmax picks the split, leaf
+    values are ridge-regularized residual means. Captures non-additive
+    genotype effects (dominance/heterozygote patterns) a linear ridge
+    cannot.
+
+    Same I/O contract as _impute_block_fn."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(packed_win, nb_idx, nb_valid, y_idx, train):
+        codes = unpack.unpack_codes(packed_win, n)         # (W, n) 2-bit
+        na_all = codes == 1
+        d_all = jnp.where(na_all, 0,
+                          2 - ((codes + 1) >> 1)).astype(jnp.float32)
+        # class ids: dosage 0/1/2 -> 0/1/2, NA -> 3
+        cls_all = jnp.where(na_all, 3, d_all.astype(jnp.int32))
+        y = d_all[y_idx]
+        y_na = na_all[y_idx]
+
+        def per_snp(nbj, validj, yj, y_naj, trainj):
+            trainj = trainj * (1.0 - y_naj)
+            cls = cls_all[nbj]                             # (K, n)
+            # invalid (padded) neighbors never win: their masks zero out
+            onehot = (cls[None, :, :] ==
+                      jnp.arange(4)[:, None, None]).astype(jnp.float32)
+            onehot = onehot * validj[None, :, None]        # (4, K, n)
+            oh_train = onehot * trainj[None, None, :]
+            C = oh_train.sum(-1)                           # (4, K) counts
+            ntr = jnp.maximum(trainj.sum(), 1.0)
+            base = (yj * trainj).sum() / ntr
+
+            # candidate LEFT sets over classes {0,1,2,3(NA)}:
+            # thr 0.5 / 1.5, NA left / right
+            LEFT = jnp.asarray([[1, 0, 0, 0],   # {0}
+                                [1, 0, 0, 1],   # {0, NA}
+                                [1, 1, 0, 0],   # {0,1}
+                                [1, 1, 0, 1]],  # {0,1, NA}
+                               jnp.float32)                 # (4cand, 4cls)
+
+            def round_step(_, pred):
+                r = (yj - pred) * trainj
+                S = jnp.einsum("gkn,n->gk", oh_train, r)    # (4, K)
+                SL = jnp.einsum("cg,gk->ck", LEFT, S)       # (4cand, K)
+                CL = jnp.einsum("cg,gk->ck", LEFT, C)
+                ST = S.sum(0)
+                CT = C.sum(0)
+                SR = ST[None] - SL
+                CR = CT[None] - CL
+                gain = (SL**2 / (CL + reg_lambda)
+                        + SR**2 / (CR + reg_lambda)
+                        - ST[None]**2 / (CT[None] + reg_lambda))
+                flat = jnp.argmax(gain)
+                ci, ki = flat // K, flat % K
+                wL = lr * SL[ci, ki] / (CL[ci, ki] + reg_lambda)
+                wR = lr * SR[ci, ki] / (CR[ci, ki] + reg_lambda)
+                in_left = LEFT[ci][cls[ki]]                 # (n,) {0,1}
+                return pred + jnp.where(in_left > 0, wL, wR)
+
+            return jax.lax.fori_loop(0, n_rounds, round_step,
+                                     jnp.full((n,), base, jnp.float32))
+
+        preds = jax.vmap(per_snp)(nb_idx, nb_valid, y,
+                                  y_na.astype(jnp.float32), train)
+        return preds, y, y_na
+
+    return jax.jit(fn)
+
+
 def snp_fastImpute(pack: GenoPack, infos_chr=None, alpha: float = 1e-4,
                    size: int = 200, p_train: float = 0.8,
                    n_cor: int | None = None, seed: int | None = None,
                    info: np.ndarray | None = None,
                    ridge: float = 1e-3, max_neighbors: int = 32,
-                   block: int = 512):
+                   block: int = 512, method: str = "ridge",
+                   n_rounds: int = 10):
     """Model-based imputation: per-SNP ridge regression on correlated
     neighbors (reference snp_fastImpute, R/impute.R:29-160, with the
     XGBoost local model replaced by a ridge on the same
@@ -174,7 +252,13 @@ def snp_fastImpute(pack: GenoPack, infos_chr=None, alpha: float = 1e-4,
     Returns (imputed GenoPack, info (2, m): [NA rate, validation error]).
     `info` can be passed back in to resume (reference's resumable infos
     FBM, R/impute.R:13-25).
+
+    method: "ridge" (linear, fastest) or "boost" (gradient-boosted
+    stumps on dosage classes — the tree-class model of the reference's
+    xgboost path, captures non-additive effects; n_rounds boosting
+    rounds, reference nrounds=10).
     """
+    assert method in ("ridge", "boost"), method
     rng = np.random.default_rng(seed)
     n, m = pack.n, pack.m
     if infos_chr is None:
@@ -225,9 +309,12 @@ def snp_fastImpute(pack: GenoPack, infos_chr=None, alpha: float = 1e-4,
 
         Bsz = min(block, len_chr)
         W = min(len_chr, Bsz + 2 * size)
-        key = (n, W, K, Bsz)
+        key = (n, W, K, Bsz, method)
         if key not in kernels:
-            kernels[key] = _impute_block_fn(n, W, K, Bsz, ridge)
+            kernels[key] = (
+                _impute_block_boost_fn(n, W, K, Bsz, n_rounds=n_rounds)
+                if method == "boost"
+                else _impute_block_fn(n, W, K, Bsz, ridge))
         kern = kernels[key]
 
         for j0 in range(0, len_chr, Bsz):

@@ -194,3 +194,38 @@ def test_project_training_rows_recovers_scores(example_pack):
                              axis=0) for k in (1, 2, 3)])
     assert (ref_med**2).sum() > (p1**2).sum()          # simple proj shrinks
     assert ((ref_med - p2)**2).sum() < ((ref_med - p1)**2).sum()  # OADP closer
+
+
+def test_fastimpute_boost_captures_nonadditive():
+    """method='boost' (gradient-boosted stumps on dosage classes — the
+    reference's tree-class xgboost path, R/impute.R:80-92) captures
+    heterozygote-dependent patterns a linear ridge cannot."""
+    rng = np.random.default_rng(0)
+    n, m = 1500, 400
+    X = rng.binomial(2, 0.4, size=(n, m)).astype(float)
+    # every 4th SNP: dosage 1 iff left neighbor heterozygous, else 2 —
+    # a V-shaped (dominance-like) map, non-representable linearly
+    for j in range(1, m, 4):
+        X[:, j] = (X[:, j - 1] == 1) * 1.0 + (X[:, j - 1] != 1) * 2.0
+    na = rng.random((n, m)) < 0.15
+    Xo = X.copy()
+    Xo[na] = np.nan
+
+    from bigsnpr_tpu.core import unpack
+    from bigsnpr_tpu.core.genotypes import GenoPack
+
+    pack = GenoPack(packed=unpack.np_pack_codes(
+        unpack.np_dosage_to_codes(Xo.T)), n=n)
+    struct = np.zeros(m, bool)
+    struct[1::4] = True
+
+    errs = {}
+    for method in ("ridge", "boost"):
+        out, _ = snp_fastImpute(pack, seed=1, method=method)
+        Xi = out.to_dosage()
+        assert not np.isnan(Xi).any()
+        sel = na & struct[None, :]
+        errs[method] = np.mean(Xi[sel] != X[sel])
+    # measured: boost ~0.075 vs ridge ~0.38 on the non-additive SNPs
+    assert errs["boost"] < 0.15, errs
+    assert errs["boost"] < 0.5 * errs["ridge"], errs
