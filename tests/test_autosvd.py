@@ -92,3 +92,89 @@ def test_autosvd_example(example_pack):
     assert len(res.subset) > 0.5 * example_pack.m
     # PC scores: population structure should be visible in top PCs
     assert res.d[0] > res.d[1] > res.d[9]
+
+
+def test_medcouple_exact_bruteforce_oracle():
+    """Exact parity with the definitional O(n^2) medcouple kernel
+    (Brys-Hubert-Struyf 2004): h(xi,xj) = ((xj-med)+(xi-med))/(xj-xi)
+    over xi <= med <= xj (quantifies DEVIATIONS #4 for no-ties data)."""
+    rng = np.random.default_rng(5)
+    for trial in range(5):
+        x = rng.standard_normal(201) + 0.3 * rng.standard_normal() ** 2
+        med = np.median(x)
+        lo = x[x <= med]
+        hi = x[x >= med]
+        with np.errstate(invalid="ignore"):
+            H = ((hi[:, None] - med) + (lo[None, :] - med)) / (
+                hi[:, None] - lo[None, :])
+        H[(hi[:, None] - lo[None, :]) == 0] = 0.0   # single tie at median
+        expect = np.median(H)
+        np.testing.assert_allclose(medcouple(x), expect, atol=1e-12)
+
+
+def test_ogk_consistency_and_robustness():
+    """Quantified dist_ogk behavior (VERDICT weak #10): on clean
+    elliptical data the OGK scatter approximates the true covariance
+    and distances match true Mahalanobis; 10% gross outliers barely
+    move it while the classical estimate breaks."""
+    from bigsnpr_tpu.pca.robust import covrob_ogk
+
+    rng = np.random.default_rng(2)
+    n, p = 20000, 4
+    A = np.array([[2.0, 0.5, 0, 0], [0, 1.0, 0.3, 0],
+                  [0, 0, 0.5, 0.2], [0, 0, 0, 1.5]])
+    Sigma = A @ A.T
+    X = rng.standard_normal((n, p)) @ A.T
+    center, cov = covrob_ogk(X)
+    # hard-rejection reweighting trims the tail -> a scalar shrink of
+    # the scatter; the SHAPE (what Mahalanobis ordering depends on)
+    # must match
+    cov_n = cov / np.trace(cov)
+    Sigma_n = Sigma / np.trace(Sigma)
+    rel = np.linalg.norm(cov_n - Sigma_n) / np.linalg.norm(Sigma_n)
+    assert rel < 0.03, rel
+
+    d2 = dist_ogk(X)
+    inv = np.linalg.inv(Sigma)
+    d2_true = np.einsum("ij,jk,ik->i", X, inv, X)
+    r = np.corrcoef(d2, d2_true)[0, 1]
+    assert r > 0.999, r
+
+    # contaminate 10% with gross outliers at 50 sigma
+    Xc = X.copy()
+    out = rng.choice(n, n // 10, replace=False)
+    Xc[out] = 50.0 * rng.standard_normal((len(out), p))
+    _, cov_rob = covrob_ogk(Xc)
+    rel_rob = np.linalg.norm(cov_rob / np.trace(cov_rob) - Sigma_n) \
+        / np.linalg.norm(Sigma_n)
+    cov_classical = np.cov(Xc.T)
+    rel_cls = np.linalg.norm(cov_classical - Sigma) / np.linalg.norm(Sigma)
+    assert rel_rob < 0.1, rel_rob
+    assert rel_cls > 5.0, rel_cls  # classical blown up ~50x
+
+
+def test_tau_scale_contamination():
+    from bigsnpr_tpu.pca.robust import tau_scale_location
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(50000) * 2.0
+    x[:10000] = 200.0 + rng.standard_normal(10000)  # 20% far outliers
+    mu, sig = tau_scale_location(x)
+    assert abs(mu) < 0.5 and sig < 3.5, (mu, sig)
+    assert np.std(x) > 50  # classical scale destroyed
+
+
+def test_tukey_mc_up_symmetric_formula():
+    """Symmetric data: mc ~ 0 so the fence reduces to Q3 + coef*IQR with
+    the alpha-calibrated coef (checks the calibration formula)."""
+    from scipy import stats as ss
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(100001)
+    thr = tukey_mc_up(x, alpha=0.05)
+    q1, q3 = np.quantile(x, [0.25, 0.75])
+    n = len(x)
+    coef = (ss.norm.isf(0.05 / (2 * n)) - ss.norm.ppf(0.75)) / (
+        2 * ss.norm.ppf(0.75))
+    expect = q3 + coef * (q3 - q1)
+    np.testing.assert_allclose(thr, expect, rtol=0.03)
