@@ -17,7 +17,6 @@ communication pattern of the whole framework.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

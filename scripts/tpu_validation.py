@@ -56,7 +56,6 @@ def main(quick=False, sweep=False, parts=None):
     from bigsnpr_tpu.core.genotypes import GenoPack
     from bigsnpr_tpu.ops import pallas_kernels as pk
     from bigsnpr_tpu.ops.matvec import XlaOperator
-    from bigsnpr_tpu.ops.stats import bed_scaleBinom
 
     m, n, l = (32768, 8192, 8) if quick else (131072, 16384, 8)
     rng = np.random.default_rng(0)
