@@ -204,16 +204,24 @@ def main():
         return
 
     env = dict(os.environ, BIGSNPR_BENCH_CHILD="1")
-    # (env, size, timeout). The repeated "big" attempt is deliberate:
-    # a first-compile timeout leaves the server-side compile cache warm,
-    # so the retry completes quickly.
+    # (env, size, timeout, sleep_before). The repeated "big" attempt is
+    # deliberate: a first-compile timeout leaves the server-side compile
+    # cache warm, so the retry completes quickly. The spaced retries
+    # cover a transiently wedged tunnel that recovers on a remote timer
+    # (round-2 postmortem: a killed client wedged the pool slot for
+    # >40 min with no client-side remedy).
     attempts = [
-        (env, "big", 1500),
-        (env, "big", 900),
-        (env, "mid", 900),
-        (dict(env, BIGSNPR_BENCH_CPU="1"), "cpu", 600),
+        (env, "big", 1500, 0),
+        (env, "big", 900, 0),
+        (env, "mid", 600, 120),
+        (env, "mid", 600, 300),
+        (dict(env, BIGSNPR_BENCH_CPU="1"), "cpu", 600, 0),
     ]
-    for attempt_env, size, timeout in attempts:
+    for attempt_env, size, timeout, sleep_before in attempts:
+        if sleep_before:
+            print(f"[bench] sleeping {sleep_before}s before retry "
+                  f"(tunnel may recover)", file=sys.stderr, flush=True)
+            time.sleep(sleep_before)
         attempt_env = dict(attempt_env, BIGSNPR_BENCH_SIZE=size)
         try:
             res = subprocess.run([sys.executable, os.path.abspath(__file__)],
