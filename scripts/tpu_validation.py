@@ -268,6 +268,12 @@ def supervised(quick, sweep):
 
 
 if __name__ == "__main__":
+    if "--cpu" in sys.argv:
+        # force CPU BEFORE any jax op (the axon plugin ignores
+        # JAX_PLATFORMS=cpu) — for scale runs while the tunnel is down
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if "--scale" in sys.argv:
         i = sys.argv.index("--scale")
         m_s = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 200_000
