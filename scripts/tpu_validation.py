@@ -199,10 +199,14 @@ def scale_run(m_scale=200_000, W=500, block=4096, sweeps=(100, 100)):
     rng = np.random.default_rng(0)
     print(f"building synthetic banded LD m={m_scale} W={W} ...", flush=True)
     t0 = time.perf_counter()
+    # AR(1)-decay correlation (Toeplitz, PSD) truncated at W and zeroed
+    # at block boundaries — random-diagonal LD is badly non-PSD at this
+    # width and trips the sampler's divergence guard (NaN by design)
+    rho = 0.99
     diags = [np.ones(m_scale)]
     offs = [0]
     for d in range(1, W + 1):
-        v = rng.normal(0.0, 0.25 / d, m_scale - d)
+        v = np.full(m_scale - d, rho**d)
         j = np.arange(m_scale - d)
         v[(j % block) >= block - d] = 0.0
         diags.append(v)
