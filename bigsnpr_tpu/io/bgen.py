@@ -174,7 +174,10 @@ def snp_readBGEN(bgenfiles, list_snp_id, ind_row=None, bgi_dir=None,
         bgenfiles = [bgenfiles]
     assert read_as in ("dosage", "random")
     dosage = read_as == "dosage"
-    rng = np.random.default_rng(seed)
+    # per-variant rng streams keyed by list position: seeded hard calls
+    # are independent of on-disk decode order (variants are processed in
+    # file-offset order for sequential IO)
+    rng_base = int(np.random.default_rng(seed).integers(2**63))
 
     all_N = [check_bgen_format(b) for b in bgenfiles]
     N = all_N[0]
@@ -221,7 +224,7 @@ def snp_readBGEN(bgenfiles, list_snp_id, ind_row=None, bgi_dir=None,
                 try:
                     ids, INFO, FREQ = _ingest_one_bgen(
                         buf, info, codes, row0, ind_row, N, dosage,
-                        native_mod, rng, seed, chunk_variants)
+                        native_mod, rng_base, seed, chunk_variants)
                 finally:
                     buf.close()
             infos.append(pd.DataFrame({
@@ -264,7 +267,7 @@ def snp_readBGEN(bgenfiles, list_snp_id, ind_row=None, bgi_dir=None,
 
 
 def _ingest_one_bgen(buf, info, codes_out, row0, ind_row, N, dosage,
-                     native_mod, rng, seed, chunk_variants):
+                     native_mod, rng_base, seed, chunk_variants):
     """Decode one BGEN's selected variants chunk-by-chunk into codes_out.
 
     Chunks are processed in file order (sequential reads) and written at
@@ -306,7 +309,8 @@ def _ingest_one_bgen(buf, info, codes_out, row0, ind_row, N, dosage,
             for j, i in enumerate(sel):
                 _, ck, inf, frq = _read_variant_at(
                     chunk, int(geno_offs[j] - lo), int(comp_sizes[j]),
-                    ind_row, dosage, N, rng)
+                    ind_row, dosage, N,
+                    np.random.default_rng((rng_base, row0 + int(i))))
                 codes_out[row0 + i] = ck
                 INFO[i] = inf
                 FREQ[i] = frq
@@ -373,13 +377,20 @@ def snp_prodBGEN(bgenfile, beta, list_snp_id, ind_row=None, bgi_dir=None,
     bgi = (Path(bgi_dir) / (Path(bgenfile).name + ".bgi")
            if bgi_dir else Path(str(bgenfile) + ".bgi"))
     info = snp_readBGI(bgi, list_snp_id)
-    buf = Path(bgenfile).read_bytes()
     starts = [int(s) for s in info["file_start_position"]]
     m = len(starts)
     n_sub = len(ind_row)
     K = beta.shape[1]
     if engine == "auto":
         engine = "device" if jax.default_backend() == "tpu" else "host"
+
+    # memory-map the BGEN: only the touched per-block byte ranges are
+    # paged in, so peak RSS stays O(block) however large the file
+    # (reference streams through an ifstream, src/prod-bgen.cpp:71-141)
+    import mmap as mmap_mod
+
+    with open(bgenfile, "rb") as _f:
+        buf = mmap_mod.mmap(_f.fileno(), 0, access=mmap_mod.ACCESS_READ)
 
     def decode_block(b0, b1):
         e_block = np.zeros((block_size, n_sub), dtype=np.uint16)
@@ -429,4 +440,5 @@ def snp_prodBGEN(bgenfile, beta, list_snp_id, ind_row=None, bgi_dir=None,
             rev[e_block == 65535] = np.nan
             acc += rev.T @ beta[b0:b1]
         out = acc / 255.0
+    buf.close()
     return out if out.shape[1] > 1 else out[:, 0]

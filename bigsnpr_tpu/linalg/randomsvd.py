@@ -227,7 +227,7 @@ def snp_randomSVD(
     l0 = min(k + oversample, min(n, m))
     if (op is not None and hasattr(op, "power_dev")
             and (engine in ("device", "mesh-device")
-                 or (on_tpu and engine != "host"))):
+                 or (on_tpu and engine == "auto"))):
         # on-chip Krylov: avoids per-depth host-link latency (the
         # dominant cost over a tunneled TPU)
         max_depth = max(2, min(max_iter, -(-min(n, m) // l0), 64))

@@ -247,6 +247,17 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
             res["alpha_est"] = float(np.mean(res["path_alpha_est"][-num_iter:]))
             res["h2_init"] = h2_init
             res["p_init"] = float(vec_p_init[c])
+            if sparse and np.isfinite(res["h2_est"]):
+                # post-hoc sparse solution, same contract as the unblocked
+                # branch (reference R/LDpred2.R:266-279)
+                bg = gb.gibbs_one_blocked(
+                    bands, gidx,
+                    jnp.asarray(beta_hat, dt), jnp.asarray(N, dt),
+                    jnp.asarray(res["h2_est"], dt),
+                    jnp.asarray(res["p_est"], dt),
+                    True, jax.random.fold_in(keys[c], 12345),
+                    burn_in=50, num_iter=100, m=m)
+                res["beta_est_sparse"] = np.asarray(bg, np.float64) / sd
             results.append(res)
         return results
 

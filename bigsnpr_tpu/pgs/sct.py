@@ -22,6 +22,15 @@ from bigsnpr_tpu.pgs.lassosum2 import seq_log
 from bigsnpr_tpu.linalg.penalized import big_spReg
 
 
+def _chrom_key(c):
+    """Canonical all_keep key: int when the label parses as one,
+    otherwise the string ('X', 'MT', ...)."""
+    try:
+        return int(c)
+    except (TypeError, ValueError):
+        return str(c)
+
+
 def _banded_r2(sub, pos, max_size, block=512):
     """All window pairs (i < j, |pos_i - pos_j| <= max_size) with their r^2."""
     n, m = sub.n, sub.m
@@ -121,7 +130,7 @@ def snp_grid_clumping(
                         keep = _greedy_fixed_point(
                             len(idx), rank, ei[sel], ej[sel])
                         keep_list.append(ind_chr0[idx[keep]])
-        all_keep[int(chrom)] = keep_list
+        all_keep[_chrom_key(chrom)] = keep_list
     return all_keep, grid
 
 
@@ -165,7 +174,7 @@ class GridPRS:
         return path
 
     @classmethod
-    def load(cls, path) -> "GridPRS":
+    def load(cls, path, writable: bool = False) -> "GridPRS":
         path = str(path)
         if not path.endswith(".meta.npz"):
             path = path + ".meta.npz"
@@ -175,10 +184,12 @@ class GridPRS:
         for ln in z["keep_lens"]:
             keep_flat.append(z["keep_cat"][off:off + ln])
             off += ln
+
         all_keep = {}
         i = 0
         for c, cnt in zip(z["chroms"], z["keep_counts"]):
-            all_keep[int(c)] = keep_flat[i:i + cnt]
+            # preserve non-integer chromosome labels ('X', 'MT', ...)
+            all_keep[_chrom_key(c)] = keep_flat[i:i + cnt]
             i += cnt
         bf = str(z["backingfile"])
         if bf:
@@ -191,7 +202,9 @@ class GridPRS:
                                     os.path.basename(bf))
                 if os.path.exists(cand):
                     bf = cand
-        scores = (np.load(bf, mmap_mode="r+") if bf
+        # read-only attach by default: works on read-only mounts and
+        # cannot mutate the persisted scores (writable=True for 'r+')
+        scores = (np.load(bf, mmap_mode="r+" if writable else "r") if bf
                   else z["scores_inline"])
         return cls(scores=scores, lpS=z["lpS"],
                    grid_lpS_thr=z["grid_lpS_thr"], betas=z["betas"],

@@ -194,7 +194,9 @@ CONTRACTS = {
     "ind_keep": assert_index,
     "ind_train": assert_index,
     "exclude": assert_index,
-    "infos_chr": assert_not_null,
+    # None is a supported default (falls back to pack.map chromosome
+    # info inside the functions) — only non-None values are validated.
+    "infos_chr": lambda x, name: None if x is None else assert_nona(x, name),
     "infos_pos": assert_nona,
     "df_beta": assert_df_beta,
     "fun_scaling": assert_scaling_fun,

@@ -118,7 +118,11 @@ def main(quick=False, sweep=False, parts=None):
     # 3. SVD wall time
     from bigsnpr_tpu.linalg.randomsvd import snp_randomSVD
 
-    for engine in (("xla", "pallas") if "svd" in parts else ()):
+    # "auto" = Pallas operator + device-resident Krylov, "device" = XLA
+    # operator + device Krylov (explicit "xla"/"pallas" now keep the
+    # host-loop Krylov per the round-2 advisor fix — too slow over the
+    # tunnel to time here)
+    for engine in (("auto", "device") if "svd" in parts else ()):
         t0 = time.perf_counter()
         svd = snp_randomSVD(pack, k=10, tol=1e-4, engine=engine)
         print(f"randomSVD[{engine}]: {time.perf_counter()-t0:.1f}s "

@@ -105,3 +105,13 @@ def test_config_options_context():
     assert config.pallas_mxu == "highest"
     with pytest.raises(KeyError):
         config.get_option("nope")
+
+
+def test_infos_chr_none_is_allowed(example_pack):
+    """infos_chr=None is the supported default (falls back to pack.map)
+    — the contract must not reject it (round-2 advisor finding)."""
+    from bigsnpr_tpu.ops.clumping import snp_clumping
+
+    kept = snp_clumping(example_pack, infos_chr=None, thr_r2=0.5)
+    kept2 = snp_clumping(example_pack, thr_r2=0.5)
+    np.testing.assert_array_equal(kept, kept2)

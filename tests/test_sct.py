@@ -198,3 +198,32 @@ def test_grid_prs_on_disk_store(setup, tmp_path):
     shutil.move(meta, newdir / "multi_prs.meta.npz")
     again = type(disk).load(newdir / "multi_prs.meta.npz")
     np.testing.assert_array_equal(np.asarray(again.scores), ram.scores)
+
+    # read-only attach by default: works on a chmod-ed read-only store
+    # and cannot mutate it (writable=True opts back into 'r+')
+    import os
+
+    os.chmod(newdir / "multi_prs.npy", 0o444)
+    ro = type(disk).load(newdir / "multi_prs.meta.npz")
+    np.testing.assert_array_equal(np.asarray(ro.scores), ram.scores)
+    with pytest.raises(ValueError):
+        ro.scores[0, 0] = 1.0
+
+
+def test_grid_prs_string_chromosome_keys(setup, tmp_path):
+    """save/load round-trips non-integer chromosome labels ('X', 'MT')
+    coming through infos_chr (round-2 advisor finding)."""
+    pack, gwas, lpS = setup["pack"], setup["gwas"], setup["lpS"]
+    betas = gwas["estim"].to_numpy()
+    chrs = np.where(np.arange(pack.m) < pack.m // 2, "X", "MT")
+    pos = np.arange(pack.m) * 100
+    all_keep, grid = snp_grid_clumping(
+        pack, chrs, pos, lpS, grid_thr_r2=(0.5,), grid_base_size=(100,))
+    disk = snp_grid_PRS(pack, all_keep, betas, lpS, n_thr_lpS=5,
+                        backingfile=tmp_path / "xmt")
+    meta = disk.save(tmp_path / "xmt")
+    back = type(disk).load(meta)
+    assert sorted(back.all_keep) == sorted(all_keep) == ["MT", "X"]
+    for c in all_keep:
+        for a, b in zip(back.all_keep[c], all_keep[c]):
+            np.testing.assert_array_equal(a, b)
