@@ -49,6 +49,11 @@ SIZES = {
 def _measure(size_name):
     import numpy as np
     import jax
+
+    from bigsnpr_tpu import config as btconfig
+
+    cache_dir = btconfig.enable_compilation_cache()
+
     import jax.numpy as jnp
     from bigsnpr_tpu.core.unpack import unpack_standardized
     from bigsnpr_tpu.ops import pallas_kernels as pk
@@ -72,7 +77,9 @@ def _measure(size_name):
     scale = jnp.asarray(rng.uniform(0.3, 1.0, m).astype(np.float32))
     Q0 = jnp.asarray(rng.standard_normal((n, l)).astype(np.float32))
 
-    def timeit(step, q0, iters):
+    compile_s = {}
+
+    def timeit(step, q0, iters, label=None):
         # data-dependent chaining AND a host fetch of the final output:
         # the tunnel's block_until_ready can return before remote
         # execution finishes (measured 0.1 ms/iter for a 1 GB-touching
@@ -84,7 +91,10 @@ def _measure(size_name):
         np.asarray(out)
         out = step(out)  # compile the chained form
         np.asarray(out)
-        log(f"compile+warmup {time.perf_counter() - t0:.1f}s")
+        dt_c = time.perf_counter() - t0
+        if label:
+            compile_s[label] = round(dt_c, 1)
+        log(f"compile+warmup {dt_c:.1f}s")
         t0 = time.perf_counter()
         np.asarray(out)  # fetch-latency probe on a ready array
         fetch_s = time.perf_counter() - t0
@@ -126,7 +136,7 @@ def _measure(size_name):
         return xla_step_arg(packed, center, scale, Q)
 
     try:
-        dt_xla = timeit(xla_step, Q0, iters)
+        dt_xla = timeit(xla_step, Q0, iters, label="xla")
         results["gvs_xla"] = round(2.0 * m * n / dt_xla / 1e9, 2)
         log(f"xla: {dt_xla*1e3:.1f} ms/iter -> {results['gvs_xla']} GVS")
     except Exception as e:  # noqa: BLE001 - reported, not swallowed
@@ -161,7 +171,8 @@ def _measure(size_name):
                                            Q, tm, mxu)
 
                 try:
-                    dt_p = timeit(pallas_step, Q0, iters)
+                    dt_p = timeit(pallas_step, Q0, iters,
+                                  label=f"pallas_tm{tm}_{mxu}")
                 except Exception as e:  # noqa: BLE001 - per-config report
                     log(f"pallas[tm={tm},{mxu}] FAILED: "
                         f"{type(e).__name__}: {e}")
@@ -189,6 +200,8 @@ def _measure(size_name):
         "backend": backend,
         "shape": f"{m}x{n}",
         "cpu_fallback": not on_tpu,
+        "compile_s": compile_s,
+        "compile_cache": cache_dir,
     }
     out.update(results)
     print(json.dumps(out), flush=True)

@@ -78,3 +78,27 @@ def options(**kw):
     finally:
         for k, v in old.items():
             set_option(k, v)
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Persist XLA compilations to disk so a second cold process reuses
+    them (the big bench shape took a 550 s first compile in round 2;
+    with the cache a fresh process loads it in seconds).
+
+    Call BEFORE the first jit execution. Default location
+    ~/.cache/bigsnpr_tpu_xla, override with $BIGSNPR_COMPILE_CACHE.
+    Returns the cache directory."""
+    import jax
+
+    path = path or os.environ.get(
+        "BIGSNPR_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "bigsnpr_tpu_xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    # cache even quick compiles: the tunnel round-trip dominates anyway
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # noqa: BLE001 — flag name varies across jax versions
+        pass
+    return str(path)

@@ -13,6 +13,7 @@ warm-started along a decreasing lambda path.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -143,19 +144,40 @@ def big_spReg(X, y, family=None, alphas=(1.0, 0.01, 0.0001), K=10,
     rng = np.random.default_rng(seed)
     folds = rng.permutation(n) % K
 
+    # native C++ CD when available (CD is inherently sequential per
+    # coordinate — the python loop is interpreter-bound beyond ~10^3
+    # features); folds run in threads (ctypes releases the GIL)
+    try:
+        from bigsnpr_tpu import native as native_mod
+    except Exception:  # noqa: BLE001 — fall back to python CD
+        native_mod = None
+    tol, maxit = ((1e-6, 50) if family == "binomial" else (1e-7, 200))
+
+    def fit_fold(Xtr, ytr, lambdas, alpha, Xva, yva):
+        if native_mod is not None:
+            fit = native_mod.cd_path(Xtr, ytr, lambdas, alpha, Xva, yva,
+                                     n_abort, tol, maxit, family=family)
+            if fit is not None:
+                return fit
+        return (_cd_binomial_path if family == "binomial"
+                else _cd_gaussian_path)(
+            Xtr, ytr, lambdas, alpha, Xva, yva, n_abort=n_abort)
+
+    from concurrent.futures import ThreadPoolExecutor
+
     results = {}
     for alpha in alphas:
         lambdas = np.exp(np.linspace(
             np.log(lam_max / max(alpha, 1e-3)),
             np.log(lam_max / max(alpha, 1e-3) * lambda_min_ratio), nlambda))
+        with ThreadPoolExecutor(max_workers=min(K, os.cpu_count() or 1)) \
+                as pool:
+            fits = list(pool.map(
+                lambda k: fit_fold(Xs[folds != k], y[folds != k], lambdas,
+                                   alpha, Xs[folds == k], y[folds == k]),
+                range(K)))
         fold_betas, fold_ints, fold_losses = [], [], []
-        for k in range(K):
-            tr = folds != k
-            va = ~tr
-            fit = (_cd_binomial_path if family == "binomial"
-                   else _cd_gaussian_path)(
-                Xs[tr], y[tr], lambdas, alpha, Xs[va], y[va], n_abort=n_abort)
-            loss, beta, intercept, _ = fit
+        for loss, beta, intercept, _ in fits:
             if beta is None:
                 beta, intercept = np.zeros(p), 0.0
             fold_betas.append(beta)

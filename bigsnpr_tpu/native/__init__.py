@@ -18,7 +18,8 @@ _LIB = None
 _TRIED = False
 
 _SRCS = [Path(__file__).parent / "io_native.cpp",
-         Path(__file__).parent / "ldsplit_native.cpp"]
+         Path(__file__).parent / "ldsplit_native.cpp",
+         Path(__file__).parent / "cd_native.cpp"]
 _SO = Path(__file__).parent / "_io_native.so"
 
 
@@ -78,6 +79,24 @@ def get_lib():
                         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                         ctypes.c_int64, ctypes.c_double, ctypes.c_void_p,
                         ctypes.c_void_p, ctypes.c_void_p]),
+        ("cd_gaussian_path", [ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_int64, ctypes.c_int64,
+                              ctypes.c_void_p, ctypes.c_int64,
+                              ctypes.c_double, ctypes.c_void_p,
+                              ctypes.c_void_p, ctypes.c_int64,
+                              ctypes.c_int64, ctypes.c_double,
+                              ctypes.c_int64, ctypes.c_void_p,
+                              ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_void_p]),
+        ("cd_binomial_path", [ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_int64, ctypes.c_int64,
+                              ctypes.c_void_p, ctypes.c_int64,
+                              ctypes.c_double, ctypes.c_void_p,
+                              ctypes.c_void_p, ctypes.c_int64,
+                              ctypes.c_int64, ctypes.c_double,
+                              ctypes.c_int64, ctypes.c_void_p,
+                              ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_void_p]),
     ):
         if hasattr(lib, name):
             fn = getattr(lib, name)
@@ -192,3 +211,34 @@ def ldsplit_tables(suffix_tables, m, min_size, max_size, max_K, max_cost,
                    pos_scaled.ctypes.data, c1row0.ctypes.data,
                    best.ctypes.data)
     return c1row0, best
+
+
+def cd_path(X, y, lambdas, alpha, Xval, yval, n_abort, tol, maxit,
+            family="gaussian"):
+    """Native elastic-net CD path (gaussian/binomial). Returns
+    (loss, beta, intercept, best_li) like the python fallback, or None
+    if the native lib is unavailable."""
+    lib = get_lib()
+    name = f"cd_{family}_path"
+    if lib is None or not hasattr(lib, name):
+        return None
+    Xf = np.asfortranarray(X, dtype=np.float64)
+    Xvf = np.asfortranarray(Xval, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    yval = np.ascontiguousarray(yval, dtype=np.float64)
+    lambdas = np.ascontiguousarray(lambdas, dtype=np.float64)
+    n, p = Xf.shape
+    beta = np.zeros(p)
+    intercept = np.zeros(1)
+    loss = np.zeros(1)
+    li = np.zeros(1, dtype=np.int64)
+    rc = getattr(lib, name)(
+        Xf.ctypes.data, y.ctypes.data, n, p,
+        lambdas.ctypes.data, len(lambdas), float(alpha),
+        Xvf.ctypes.data, yval.ctypes.data, len(yval),
+        int(n_abort), float(tol), int(maxit),
+        beta.ctypes.data, intercept.ctypes.data, loss.ctypes.data,
+        li.ctypes.data)
+    if rc != 0:
+        return (np.inf, None, None, 0)
+    return (float(loss[0]), beta, float(intercept[0]), int(li[0]))

@@ -55,11 +55,24 @@ class BlockBands:
         block b; gidx (Bk, mbk) int32 — global variant index of each slot,
         -1 at padding.
     m : total number of variants across blocks.
+    dropped_r2 / kept_r2 : sum of squared off-diagonal LD entries dropped
+        at block boundaries / kept inside blocks (the block-diagonal
+        approximation's cost; the reference drops the same mass when it
+        makes the SFBM block-diagonal from ldsplit output).
+    dropped_r2_frac : dropped_r2 / (dropped_r2 + kept_r2), 0.0 when
+        there is no off-diagonal mass.
     """
 
-    def __init__(self, buckets, m):
+    def __init__(self, buckets, m, dropped_r2=0.0, kept_r2=0.0):
         self.buckets = buckets
         self.m = m
+        self.dropped_r2 = float(dropped_r2)
+        self.kept_r2 = float(kept_r2)
+
+    @property
+    def dropped_r2_frac(self):
+        tot = self.dropped_r2 + self.kept_r2
+        return self.dropped_r2 / tot if tot > 0 else 0.0
 
     @property
     def nbytes(self):
@@ -135,16 +148,24 @@ def build_block_bands(corr, block_sizes, ind_corr=None, dtype=np.float32):
     S_all = corr.sym().tocsr()
     if len(ind_corr) != m2 or (np.diff(ind_corr) != 1).any():
         S_all = S_all[ind_corr][:, ind_corr].tocsr()
+    # off-diagonal r^2 mass bookkeeping: what the block-diagonal
+    # approximation drops at block boundaries (round-2 verdict #4)
+    total_sq = float((S_all.data.astype(np.float64) ** 2).sum())
+    diag_sq = float((S_all.diagonal().astype(np.float64) ** 2).sum())
+    kept_sq = 0.0
     per_block = []
     start = 0
     for sz in sizes:
         blk = S_all[start:start + sz, start:start + sz].tocoo()
+        kept_sq += float((blk.data.astype(np.float64) ** 2).sum())
         offs = blk.col - blk.row
         W = int(np.abs(offs).max()) if blk.nnz else 0
         band = np.zeros((int(sz), 2 * W + 1), dtype=dtype)
         band[blk.row, W + offs] = blk.data
         per_block.append((band, W, start))
         start += sz
+    dropped_r2 = max(total_sq - kept_sq, 0.0)
+    kept_r2 = max(kept_sq - diag_sq, 0.0)
 
     groups = {}
     for band, W, gstart in per_block:
@@ -162,7 +183,8 @@ def build_block_bands(corr, block_sizes, ind_corr=None, dtype=np.float32):
             bands[b, :sz, Wk - W:Wk + W + 1] = band
             gidx[b, :sz] = gstart + np.arange(sz)
         buckets.append((bands, gidx))
-    return BlockBands(buckets, int(sizes.sum()))
+    return BlockBands(buckets, int(sizes.sum()),
+                      dropped_r2=dropped_r2, kept_r2=kept_r2)
 
 
 def auto_blocks(corr, ind_corr=None, max_block: int = 4096,
@@ -202,18 +224,29 @@ def auto_blocks(corr, ind_corr=None, max_block: int = 4096,
         else:
             blk = sub.subset(np.arange(start, start + sz))
             res = None
+            err = None
             try:
                 res = snp_ldsplit(
                     blk, thr_r2=thr_r2, min_size=min(min_size, sz),
                     max_size=max_block,
                     max_K=max(2, -(-sz // min(min_size, sz))),
                     max_cost=np.inf, max_r2=1.0)
-            except Exception:
-                res = None
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                err = e
             if res is not None:
                 best = res.iloc[int(np.argmin(res["cost"].to_numpy()))]
                 out.extend(int(s) for s in best["all_size"])
-            else:  # fall back to fixed slabs
+            else:
+                # fixed slabs cut straight through real LD — surface it
+                # instead of failing silently (round-2 verdict #4)
+                import warnings
+
+                warnings.warn(
+                    f"snp_ldsplit failed on a {sz}-variant LD block "
+                    f"({type(err).__name__ if err else 'no result'}: {err}); "
+                    f"falling back to fixed {max_block}-slabs that may cut "
+                    f"through LD. Check dropped_r2_frac on the returned "
+                    f"BlockBands.", RuntimeWarning, stacklevel=2)
                 nb = -(-sz // max_block)
                 slab = -(-sz // nb)
                 rem = sz

@@ -73,8 +73,17 @@ def _blocked_setup(corr, blocks, ind_corr, dt, shard=False):
         blocks = gb.auto_blocks(corr, ind_corr=ind_corr)
     blocks_arr = np.asarray(blocks, dtype=np.int64)
     bb = gb.build_block_bands(corr, blocks_arr, ind_corr=ind_corr, dtype=dt)
+    if bb.dropped_r2_frac > 0.05:
+        import warnings
+
+        warnings.warn(
+            f"block-diagonal LD approximation drops "
+            f"{100 * bb.dropped_r2_frac:.1f}% of the off-diagonal r^2 mass "
+            f"at block boundaries — consider ldsplit-derived blocks "
+            f"(blocks='auto') or wider blocks.", RuntimeWarning,
+            stacklevel=3)
     bands, gidx = bb.device_put(shard=shard)
-    return gb, bands, gidx, bb.m
+    return gb, bands, gidx, bb
 
 
 def _prep_sampler(corr, beta_hat, N, ind_corr, dtype=np.float32):
@@ -145,7 +154,8 @@ def _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in, num_iter,
                   ind_corr, seed, blocks, dt=np.float32):
     """Block-parallel grid sampler (LD must be block-diagonal w.r.t.
     `blocks`, e.g. from snp_ldsplit): sequential depth = max block size."""
-    gb, bands, gidx, m = _blocked_setup(corr, blocks, ind_corr, dt)
+    gb, bands, gidx, bb = _blocked_setup(corr, blocks, ind_corr, dt)
+    m = bb.m
     assert m == len(beta_hat)
 
     p_grid = np.atleast_1d(np.asarray(grid_param["p"], dtype=np.float64))
@@ -218,8 +228,9 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
     keys = jax.random.split(key, len(vec_p_init))
 
     if blocks is not None:
-        gb, bands, gidx, m = _blocked_setup(corr, blocks, ind_corr, dt,
-                                            shard=shard_blocks)
+        gb, bands, gidx, bb = _blocked_setup(corr, blocks, ind_corr, dt,
+                                             shard=shard_blocks)
+        m = bb.m
         assert m == len(beta_hat)
         runb = jax.vmap(
             lambda p0, k: gb.gibbs_auto_blocked(
@@ -247,6 +258,7 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
             res["alpha_est"] = float(np.mean(res["path_alpha_est"][-num_iter:]))
             res["h2_init"] = h2_init
             res["p_init"] = float(vec_p_init[c])
+            res["dropped_r2_frac"] = bb.dropped_r2_frac
             if sparse and np.isfinite(res["h2_est"]):
                 # post-hoc sparse solution, same contract as the unblocked
                 # branch (reference R/LDpred2.R:266-279)

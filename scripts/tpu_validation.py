@@ -50,6 +50,9 @@ def main(quick=False, sweep=False, parts=None):
     import jax
     import jax.numpy as jnp
 
+    from bigsnpr_tpu import config as btconfig
+
+    btconfig.enable_compilation_cache()
     print("backend:", jax.default_backend(), jax.devices())
     assert jax.default_backend() != "cpu", "no TPU reachable"
 
@@ -113,7 +116,7 @@ def main(quick=False, sweep=False, parts=None):
 
                 dt = timeit_chained(step, jnp.asarray(Q0), iters=5)
                 print(f"  TM={tm} {mxu}: {dt*1e3:.1f} ms -> "
-                      f"{2*m*n/dt/1e9:.0f} G visits/s")
+                      f"{2*m*n/dt/1e9:.0f} G visits/s", flush=True)
 
     # 3. SVD wall time
     from bigsnpr_tpu.linalg.randomsvd import snp_randomSVD
@@ -260,15 +263,19 @@ def supervised(quick, sweep):
 
     sections = ["power"] + (["sweep"] if sweep else []) + \
         ["svd", "gibbs", "cor"]
-    budget = {"power": 600, "sweep": 600, "svd": 420,
+    budget = {"power": 600, "sweep": 1800, "svd": 420,
               "gibbs": 600, "cor": 420}
+    # PYTHONUNBUFFERED: a timeout-killed child must not take its
+    # block-buffered partial results with it (lost the round-3 sweep)
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
     for part in sections:
         cmd = [sys.executable, os.path.abspath(__file__), "--inline",
                "--part", part] + (["--quick"] if quick else []) + \
             (["--sweep"] if sweep else [])
         print(f"=== section {part} (timeout {budget[part]}s)", flush=True)
         try:
-            rc = subprocess.run(cmd, timeout=budget[part]).returncode
+            rc = subprocess.run(cmd, timeout=budget[part],
+                                env=env).returncode
             if rc:
                 print(f"!!! section {part} exited rc={rc}", flush=True)
         except subprocess.TimeoutExpired:

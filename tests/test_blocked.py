@@ -56,6 +56,66 @@ def test_build_block_bands(blockdiag):
     np.testing.assert_array_equal(np.sort(seen), np.arange(bb.m))
 
 
+def test_dropped_r2_mass_accounting(blockdiag):
+    """build_block_bands reports the off-diagonal r^2 mass dropped at
+    block boundaries (round-2 verdict #4)."""
+    corr, _, sizes = blockdiag
+    # exact blocks: nothing crosses a boundary
+    bb = build_block_bands(corr, sizes)
+    assert bb.dropped_r2 == 0.0 and bb.dropped_r2_frac == 0.0
+    assert bb.kept_r2 > 0
+    # cut one block in half: the dropped mass is exactly the r^2 of the
+    # entries crossing the new cut
+    bad = np.r_[sizes[0] // 2, sizes[0] - sizes[0] // 2, sizes[1:]]
+    bb2 = build_block_bands(corr, bad)
+    S = corr.sym().tocoo()
+    cut = sizes[0] // 2
+    crossing = ((S.row < cut) & (S.col >= cut) & (S.col < sizes[0])) | (
+        (S.col < cut) & (S.row >= cut) & (S.row < sizes[0]))
+    expect = float((S.data[crossing] ** 2).sum())
+    np.testing.assert_allclose(bb2.dropped_r2, expect, rtol=1e-10)
+    assert 0 < bb2.dropped_r2_frac < 1
+
+
+def test_blocked_sampler_warns_on_large_dropped_mass(blockdiag):
+    """snp_ldpred2_grid warns when blocks= cuts through substantial LD."""
+    corr, df_beta, sizes = blockdiag
+    m = int(sizes.sum())
+    bad = np.full(m // 20, 20)
+    bad = np.r_[bad, [m - bad.sum()]] if bad.sum() < m else bad
+    grid = {"p": [0.2], "h2": [0.3], "sparse": [False]}
+    with pytest.warns(RuntimeWarning, match="block-diagonal LD"):
+        snp_ldpred2_grid(corr, df_beta, grid, burn_in=2, num_iter=2,
+                         blocks=bad)
+
+
+def test_auto_result_reports_dropped_frac(blockdiag):
+    corr, df_beta, sizes = blockdiag
+    res = snp_ldpred2_auto(corr, df_beta, h2_init=0.2, vec_p_init=[0.2],
+                           burn_in=5, num_iter=5, use_MLE=False,
+                           blocks=sizes)[0]
+    assert res["dropped_r2_frac"] == 0.0
+
+
+def test_auto_blocks_ldsplit_dropped_mass_small():
+    """ldsplit-derived blocks drop only a few percent of r^2 mass on
+    banded LD with no exact cuts."""
+    from bigsnpr_tpu.pgs.gibbs_blocked import auto_blocks
+
+    rng = np.random.default_rng(5)
+    m, W = 600, 25
+    diags = [np.ones(m)]
+    offs = [0]
+    for d in range(1, W + 1):
+        diags.append(np.full(m - d, 0.8**d))
+        offs.append(d)
+    corr = SparseLD(upper=sp.diags(diags, offs, format="csc").tocsc())
+    sizes = auto_blocks(corr, max_block=150, thr_r2=0.02)
+    assert sizes.max() <= 150 and sizes.sum() == m
+    bb = build_block_bands(corr, sizes)
+    assert bb.dropped_r2_frac < 0.05, bb.dropped_r2_frac
+
+
 def test_auto_blocks_exact_cuts():
     """auto_blocks finds the exact independence cut points."""
     from bigsnpr_tpu.pgs.gibbs_blocked import auto_blocks
