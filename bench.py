@@ -164,8 +164,8 @@ def _measure(size_name):
                 return Yt[:, inv_perm].T
 
             best_dt, best_cfg = None, None
-            for tm, mxu in ((512, "split2"), (512, "highest"),
-                            (256, "highest")):
+            for tm, mxu in ((512, "int8"), (512, "split2"),
+                            (512, "highest")):
                 def pallas_step(Q, tm=tm, mxu=mxu):
                     return pallas_step_arg(packed, csj, permj, inv_perm,
                                            Q, tm, mxu)

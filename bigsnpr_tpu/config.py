@@ -59,7 +59,7 @@ def set_option(name: str, value) -> None:
     if name == "matmul_precision":
         set_matmul_precision(value)
     elif name == "pallas_mxu":
-        assert value in ("highest", "split2"), value
+        assert value in ("highest", "split2", "int8"), value
         pallas_mxu = value
     elif name == "check_args":
         assertions.set_check_args(bool(value))

@@ -90,15 +90,22 @@ def _dot_t(a, b):
 
 def _cprod_kernel_split(pb_ref, q_ref, cs_ref, out_ref):
     """cprod via exact-integer bf16 bit-plane GEMMs; Q split hi+lo keeps
-    ~f32 accuracy at 4 single-pass matmuls (vs 6 passes for HIGHEST)."""
+    ~f32 accuracy. hi/lo are ROW-STACKED into one GEMM per plane: MXU
+    cycles depend on (N tiles x K), not on M<=128, so the stacked (2l,·)
+    matmul costs the same as a single (l,·) one — 2 narrow GEMMs per
+    tile instead of 4."""
     j = pl.program_id(1)
     c_row = cs_ref[0, :]
     s_row = cs_ref[1, :]
     T, NA = _decode_int_planes(pb_ref[...].astype(jnp.int32))
     q = q_ref[...]
+    l = q.shape[0]
     q_hi, q_lo = _split_bf16(q)
-    pt = _dot_t(q_hi, T) + _dot_t(q_lo, T)      # (l, TM)
-    pna = _dot_t(q_hi, NA) + _dot_t(q_lo, NA)
+    qs = jnp.concatenate([q_hi, q_lo], axis=0)  # (2l, TN)
+    ptw = _dot_t(qs, T)                         # (2l, TM)
+    pnaw = _dot_t(qs, NA)
+    pt = ptw[:l] + ptw[l:]
+    pna = pnaw[:l] + pnaw[l:]
     qsum = jnp.sum(q, axis=1, keepdims=True)    # (l, 1)
     A = (2.0 - c_row) * s_row                   # (TM,)
     part = (qsum - pna) * A[None, :] - pt * s_row[None, :]
@@ -116,14 +123,15 @@ def _prod_kernel_split(pb_ref, z_ref, cs_ref, out_ref):
     s_row = cs_ref[1, :]
     T, NA = _decode_int_planes(pb_ref[...].astype(jnp.int32))
     z = z_ref[...]                               # (l, TM)
+    l = z.shape[0]
     zA = z * ((2.0 - c_row) * s_row)[None, :]
     zB = z * s_row[None, :]
-    zA_hi, zA_lo = _split_bf16(zA)
-    zB_hi, zB_lo = _split_bf16(zB)
-    pt = jnp.dot(zB_hi, T, preferred_element_type=jnp.float32) + \
-        jnp.dot(zB_lo, T, preferred_element_type=jnp.float32)
-    pna = jnp.dot(zA_hi, NA, preferred_element_type=jnp.float32) + \
-        jnp.dot(zA_lo, NA, preferred_element_type=jnp.float32)
+    zbs = jnp.concatenate(_split_bf16(zB), axis=0)   # (2l, TM)
+    zas = jnp.concatenate(_split_bf16(zA), axis=0)
+    ptw = jnp.dot(zbs, T, preferred_element_type=jnp.float32)
+    pnaw = jnp.dot(zas, NA, preferred_element_type=jnp.float32)
+    pt = ptw[:l] + ptw[l:]
+    pna = pnaw[:l] + pnaw[l:]
     part = jnp.sum(zA, axis=1, keepdims=True) - pna - pt  # (l, TN)
 
     @pl.when(i == 0)
@@ -131,6 +139,153 @@ def _prod_kernel_split(pb_ref, z_ref, cs_ref, out_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     out_ref[...] += part
+
+
+# ---------------------------------------------------------------------------
+# int8 MXU mode: T/NA planes as int8 (exact), the float operand
+# decomposed into NPLANES radix-128 int8 digits row-stacked into ONE
+# int8 GEMM per {T, NA} — int8 streams the MXU at 2x the bf16 rate and
+# 4x8=32 rows still fit one 128-row M tile, so a full power step costs
+# ~1/4 of split2's MXU cycles at ~f32 accuracy (28-bit operand).
+# ---------------------------------------------------------------------------
+
+NPLANES = 4
+
+
+def _decode_int_planes_i8(pb32):
+    """Like _decode_int_planes but int8 (for the int8 MXU path)."""
+    T_planes, NA_planes = [], []
+    for k in range(4):
+        b0 = (pb32 >> (2 * k)) & 1
+        b1 = (pb32 >> (2 * k + 1)) & 1
+        u = b0 & b1
+        T_planes.append((b1 + u).astype(jnp.int8))
+        NA_planes.append((b0 - u).astype(jnp.int8))
+    return (jnp.concatenate(T_planes, axis=1),
+            jnp.concatenate(NA_planes, axis=1))
+
+
+def _int8_planes(y):
+    """y (l, n) f32 -> (NPLANES*l, n) int8 radix-128 digits + per-row
+    scale (l,) f32: y[r] = scale[r] * sum_p planes[p*l+r] / 128**p, with
+    relative error ~2^-28 (beyond f32's 24-bit mantissa)."""
+    s = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+    s = jnp.where(s > 0, s, 1.0)
+    x = y * (127.0 / s)
+    planes = []
+    for _ in range(NPLANES):
+        q = jnp.round(x)
+        planes.append(q.astype(jnp.int8))
+        x = (x - q) * 128.0
+    return jnp.concatenate(planes, axis=0), s[:, 0] / 127.0
+
+
+def _combine_planes(w, l):
+    """(NPLANES*l, t) int32 -> (l, t) f32 radix recombination."""
+    parts = w.astype(jnp.float32).reshape(NPLANES, l, w.shape[1])
+    out = parts[0]
+    f = 1.0
+    for p in range(1, NPLANES):
+        f = f / 128.0
+        out = out + parts[p] * f
+    return out
+
+
+def _dot_i8_t(a, b):
+    """(M, TN) int8 x (TM, TN) int8 -> (M, TM) int32 (contract lanes)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+
+def _cprod_kernel_i8(pb_ref, q8_ref, out_ref):
+    """Accumulates raw [pt; pna] (2l, TM) in q-digit units; the
+    center/scale epilogue happens outside the kernel on (l, m)."""
+    j = pl.program_id(1)
+    T, NA = _decode_int_planes_i8(pb_ref[...].astype(jnp.int32))
+    q8 = q8_ref[...]                             # (NPLANES*l, TN)
+    l = q8.shape[0] // NPLANES
+    pt = _combine_planes(_dot_i8_t(q8, T), l)    # (l, TM)
+    pna = _combine_planes(_dot_i8_t(q8, NA), l)
+    part = jnp.concatenate([pt, pna], axis=0)    # (2l, TM)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
+def _prod_kernel_i8(pb_ref, zb8_ref, za8_ref, out_ref):
+    i = pl.program_id(1)
+    T, NA = _decode_int_planes_i8(pb_ref[...].astype(jnp.int32))
+    zb8 = zb8_ref[...]                           # (NPLANES*l, TM)
+    za8 = za8_ref[...]
+    l = zb8.shape[0] // NPLANES
+    pt = _combine_planes(
+        jax.lax.dot_general(zb8, T, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32), l)
+    pna = _combine_planes(
+        jax.lax.dot_general(za8, NA, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32), l)
+    part = jnp.concatenate([pt, pna], axis=0)    # (2l, TN)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
+def _pallas_cprod_i8(packed, Qp, cs, interpret=False, tm=TM):
+    """int8-MXU cprod: (l, n_pad) permuted f32 -> (l, m) f32."""
+    m, nb = packed.shape
+    l = Qp.shape[0]
+    q8, qscale = _int8_planes(Qp)
+    grid = (m // tm, nb // TNB)
+    raw = pl.pallas_call(
+        _cprod_kernel_i8,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, TNB), lambda i, j: (i, j)),
+            pl.BlockSpec((NPLANES * l, TN), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((2 * l, tm), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((2 * l, m), jnp.float32),
+        interpret=interpret,
+    )(packed, q8)
+    pt = raw[:l] * qscale[:, None]
+    pna = raw[l:] * qscale[:, None]
+    c_row, s_row = cs[0, :], cs[1, :]
+    A = (2.0 - c_row) * s_row
+    qsum = jnp.sum(Qp, axis=1, keepdims=True)
+    return (qsum - pna) * A[None, :] - pt * s_row[None, :]
+
+
+def _pallas_prod_i8(packed, Zt, cs, interpret=False, tm=TM):
+    """int8-MXU prod: Zt (l, m) f32 -> (l, n_pad) permuted f32."""
+    m, nb = packed.shape
+    l = Zt.shape[0]
+    c_row, s_row = cs[0, :], cs[1, :]
+    zA = Zt * ((2.0 - c_row) * s_row)[None, :]
+    zB = Zt * s_row[None, :]
+    zb8, zbs = _int8_planes(zB)
+    za8, zas = _int8_planes(zA)
+    grid = (nb // TNB, m // tm)
+    raw = pl.pallas_call(
+        _prod_kernel_i8,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, TNB), lambda j, i: (i, j)),
+            pl.BlockSpec((NPLANES * l, tm), lambda j, i: (0, i)),
+            pl.BlockSpec((NPLANES * l, tm), lambda j, i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((2 * l, TN), lambda j, i: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((2 * l, nb * 4), jnp.float32),
+        interpret=interpret,
+    )(packed, zb8, za8)
+    pt = raw[:l] * zbs[:, None]
+    pna = raw[l:] * zas[:, None]
+    return jnp.sum(zA, axis=1, keepdims=True) - pna - pt
 
 
 def _cprod_kernel(pb_ref, q_ref, cs_ref, out_ref):
@@ -157,8 +312,11 @@ def pallas_cprod(packed, Qp, cs, interpret=False, tm=TM, mxu="highest"):
     of the variant tile `tm` (tunable, default TM).
 
     mxu: "highest" = f32 6-pass GEMM on the decoded tile; "split2" =
-    exact-integer bf16 bit-plane GEMMs with hi/lo-split Q (~f32-accurate,
-    4 single passes)."""
+    exact-integer bf16 bit-plane GEMMs with row-stacked hi/lo Q
+    (~f32-accurate, 2 narrow passes); "int8" = int8-MXU bit planes with
+    radix-128 Q digits (~f32-accurate, 2 double-rate passes)."""
+    if mxu == "int8":
+        return _pallas_cprod_i8(packed, Qp, cs, interpret=interpret, tm=tm)
     m, nb = packed.shape
     l = Qp.shape[0]
     grid = (m // tm, nb // TNB)
@@ -194,6 +352,8 @@ def _prod_kernel(pb_ref, z_ref, cs_ref, out_ref):
 @partial(jax.jit, static_argnames=("interpret", "tm", "mxu"))
 def pallas_prod(packed, Zt, cs, interpret=False, tm=TM, mxu="highest"):
     """X̃-product: Zt (l, m) -> (l, n_pad) permuted-sample outputs."""
+    if mxu == "int8":
+        return _pallas_prod_i8(packed, Zt, cs, interpret=interpret, tm=tm)
     m, nb = packed.shape
     l = Zt.shape[0]
     grid = (nb // TNB, m // tm)
@@ -269,7 +429,8 @@ class PallasOperator:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
-        # "highest" | "split2" (exact-int bf16 bit planes); default from
+        # "highest" | "split2" (exact-int bf16 bit planes) | "int8"
+        # (int8-MXU bit planes, radix-128 digits); default from
         # config.pallas_mxu (env BIGSNPR_PALLAS_MXU)
         self.mxu = mxu if mxu is not None else config.pallas_mxu
 

@@ -78,7 +78,9 @@ def main(quick=False, sweep=False, parts=None):
     ops = {"xla": XlaOperator(pack, center, scale),
            "pallas": pk.PallasOperator(pack, center, scale),
            "pallas-split2": pk.PallasOperator(pack, center, scale,
-                                              mxu="split2")}
+                                              mxu="split2"),
+           "pallas-int8": pk.PallasOperator(pack, center, scale,
+                                            mxu="int8")}
     base = {}
     for name, op in (ops.items() if "power" in parts else ()):
         def step(Q, op=op):
@@ -101,7 +103,7 @@ def main(quick=False, sweep=False, parts=None):
     # 2. (TM, mxu) sweep (Pallas)
     if sweep and "sweep" in parts:
         op = ops["pallas"]
-        for mxu in ("highest", "split2"):
+        for mxu in ("int8", "split2", "highest"):
             for tm in (128, 256, 512, 1024):
                 if op.packed.shape[0] % tm:
                     continue
@@ -191,13 +193,36 @@ def _cor_section(quick, pack, n):
           f"nnz={ld.upper.nnz} ({mc/dt:.0f} variants/s)")
 
 
+def _banded_block_ld(m, W, block, rho=0.995):
+    """Direct CSC construction of a block-diagonal banded AR(1)
+    correlation (upper triangle): column j holds rows
+    max(j-W, block_start(j))..j with value rho^(j-i). Builds 1M x
+    W-thousands in seconds where sp.diags takes many minutes."""
+    import scipy.sparse as sp
+
+    j = np.arange(m, dtype=np.int64)
+    i0 = np.maximum(j - W, (j // block) * block)
+    counts = (j - i0 + 1).astype(np.int64)
+    indptr = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    total = int(indptr[-1])
+    pos = np.arange(total, dtype=np.int64)
+    within = pos - np.repeat(indptr[:-1], counts)
+    rows = (np.repeat(i0, counts) + within).astype(np.int32)
+    dist = (np.repeat(counts - 1, counts) - within)
+    pows = (rho ** np.arange(W + 1)).astype(np.float32)
+    data = pows[dist]
+    return sp.csc_matrix((data, rows, indptr), shape=(m, m))
+
+
 def scale_run(m_scale=200_000, W=500, block=4096, sweeps=(100, 100)):
     """HM3-class LDpred2-auto on chip: wall time + memory report
-    (reference target: <2 min for ~1M HM3 variants on 4 cores,
-    vignettes/LDpred2.Rmd:390-393, with a ~60 GB SFBM)."""
+    (reference target: <2 min/chain for ~1M HM3 variants on 4 cores,
+    vignettes/LDpred2.Rmd:272-393, with a ~60 GB SFBM). At
+    --scale 1000000 pass W in the thousands for HM3-realistic
+    3cM-window bandwidth."""
     import jax
     import jax.numpy as jnp
-    import scipy.sparse as sp
     from bigsnpr_tpu.ops.corr import SparseLD
     from bigsnpr_tpu.pgs.ldpred2 import snp_ldpred2_auto
     from bigsnpr_tpu.pgs.gibbs_blocked import build_block_bands
@@ -209,18 +234,10 @@ def scale_run(m_scale=200_000, W=500, block=4096, sweeps=(100, 100)):
     # AR(1)-decay correlation (Toeplitz, PSD) truncated at W and zeroed
     # at block boundaries — random-diagonal LD is badly non-PSD at this
     # width and trips the sampler's divergence guard (NaN by design)
-    rho = 0.99
-    diags = [np.ones(m_scale)]
-    offs = [0]
-    for d in range(1, W + 1):
-        v = np.full(m_scale - d, rho**d)
-        j = np.arange(m_scale - d)
-        v[(j % block) >= block - d] = 0.0
-        diags.append(v)
-        offs.append(d)
-    corr = SparseLD(upper=sp.diags(diags, offs, format="csc").tocsc())
+    corr = SparseLD(upper=_banded_block_ld(m_scale, W, block))
     print(f"  LD built in {time.perf_counter()-t0:.0f}s "
-          f"(nnz={corr.upper.nnz/1e6:.0f}M)")
+          f"(nnz={corr.upper.nnz/1e6:.0f}M, "
+          f"{(corr.upper.data.nbytes + corr.upper.indices.nbytes)/1e9:.1f} GB)")
 
     n_eff = 50_000.0
     beta_true = np.zeros(m_scale)
@@ -237,7 +254,9 @@ def scale_run(m_scale=200_000, W=500, block=4096, sweeps=(100, 100)):
     bb = build_block_bands(corr, blocks)
     print(f"band build: {time.perf_counter()-t0:.0f}s, "
           f"device bytes {bb.nbytes/1e9:.2f} GB "
-          f"({len(bb.buckets)} buckets)")
+          f"({len(bb.buckets)} buckets, "
+          f"dropped r2 {100*bb.dropped_r2_frac:.2f}%)")
+    del bb
 
     burn_in, num_iter = sweeps
     t0 = time.perf_counter()
@@ -290,9 +309,15 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", "cpu")
     if "--scale" in sys.argv:
-        i = sys.argv.index("--scale")
-        m_s = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 200_000
-        scale_run(m_scale=m_s)
+        def _arg(flag, default, cast=int):
+            if flag in sys.argv:
+                return cast(sys.argv[sys.argv.index(flag) + 1])
+            return default
+
+        m_s = _arg("--scale", 200_000)
+        scale_run(m_scale=m_s, W=_arg("--W", 500),
+                  block=_arg("--block", 4096),
+                  sweeps=(_arg("--burn", 100), _arg("--iter", 100)))
     elif "--part" in sys.argv:
         i = sys.argv.index("--part")
         main(quick="--quick" in sys.argv, sweep="--sweep" in sys.argv,

@@ -153,3 +153,39 @@ def test_split2_mxu_parity():
     Y = op.prod(U)
     ref2 = xt.T @ U
     assert np.abs(Y - ref2).max() / np.abs(ref2).max() < 2e-5
+
+
+def test_int8_mxu_parity():
+    """int8-MXU bit-plane kernels (mxu='int8'): T/NA planes exact int8,
+    Q as 4 radix-128 int8 digits (28-bit operand) — matches the f64
+    oracle to ~1e-6 rel."""
+    from bigsnpr_tpu.core import unpack
+    from bigsnpr_tpu.core.genotypes import GenoPack
+    from bigsnpr_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(4)
+    m, n, l = 512, 2048, 8
+    packed = rng.integers(0, 256, size=(m, n // 4), dtype=np.uint8)
+    center = rng.uniform(0.2, 1.8, m)
+    scale = rng.uniform(0.3, 1.0, m)
+
+    codes = unpack.np_unpack_codes(packed, n)
+    na = codes == 1
+    d = np.where(na, 0, 2 - ((codes.astype(int) + 1) >> 1)).astype(float)
+    xt = np.where(na, 0.0, (d - center[:, None]) / scale[:, None])
+
+    pack = GenoPack(packed=packed, n=n)
+    op = pk.PallasOperator(pack, center, scale, interpret=True, mxu="int8")
+    V = rng.standard_normal((n, l)).astype(np.float32)
+    B = op.cprod(V)
+    ref = xt @ V
+    assert np.abs(B - ref).max() / np.abs(ref).max() < 5e-6
+    U = rng.standard_normal((m, l)).astype(np.float32)
+    Y = op.prod(U)
+    ref2 = xt.T @ U
+    assert np.abs(Y - ref2).max() / np.abs(ref2).max() < 5e-6
+    # fused power step too
+    Bp, Yp = op.power(V)
+    np.testing.assert_allclose(Bp, B, rtol=1e-6, atol=1e-6)
+    ref3 = xt.T @ ref
+    assert np.abs(Yp - ref3).max() / np.abs(ref3).max() < 5e-6

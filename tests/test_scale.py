@@ -68,6 +68,31 @@ def test_auto_100k(big_banded):
     assert np.isfinite(res["path_h2_est"]).all()
 
 
+def test_auto_100k_sharded_blocks(big_banded):
+    """shard_blocks at 100K on the virtual 8-device mesh == the
+    single-device blocked run (round-2 verdict #8: the GSPMD path that
+    will carry multi-chip LDpred2 had scale evidence only at m=96)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    corr, df_beta, _ = big_banded
+    # ragged sizes -> 2 buckets, exercising the multi-bucket shard path
+    nb = M // BLOCK
+    blocks = np.full(nb, BLOCK)
+    blocks[-10:] -= 1000
+    blocks = np.r_[blocks, [10 * 1000]]
+    assert blocks.sum() == M
+    kw = dict(h2_init=0.3, vec_p_init=[0.05], burn_in=3, num_iter=3,
+              use_MLE=False, blocks=blocks)
+    r0 = snp_ldpred2_auto(corr, df_beta, **kw)[0]
+    r1 = snp_ldpred2_auto(corr, df_beta, shard_blocks=True, **kw)[0]
+    np.testing.assert_allclose(r1["beta_est"], r0["beta_est"],
+                               rtol=5e-4, atol=1e-8)
+    np.testing.assert_allclose(r1["path_h2_est"], r0["path_h2_est"],
+                               rtol=5e-4, atol=1e-7)
+
+
 def test_bucketed_memory_footprint(big_banded):
     """The ragged layout must not inflate to the global-W dense band."""
     from bigsnpr_tpu.pgs.gibbs_blocked import build_block_bands
@@ -78,6 +103,33 @@ def test_bucketed_memory_footprint(big_banded):
     # dense band would be M * (2W+1) * 4 bytes; bucketed stays within 2x
     dense_band = M * (2 * W + 1) * 4
     assert bb.nbytes <= 2 * dense_band, (bb.nbytes, dense_band)
+
+
+def test_auto_250k_bounded(big_banded):
+    """Bounded 250K-variant LDpred2-auto (round-2 verdict #3 'Done'
+    criterion); the 1M TPU twin is scripts/tpu_validation.py
+    --scale 1000000. Uses the direct banded-CSC builder and reports the
+    dropped cross-block r^2 fraction."""
+    del big_banded  # independent fixture-free run
+    from scripts.tpu_validation import _banded_block_ld
+
+    m, W, block = 250_000, 120, 4096
+    corr = SparseLD(upper=_banded_block_ld(m, W, block, rho=0.97))
+    rng = np.random.default_rng(3)
+    beta_true = np.zeros(m)
+    causal = rng.choice(m, 5_000, replace=False)
+    beta_true[causal] = rng.normal(0, 0.01, len(causal))
+    n_eff = 50_000.0
+    se = np.full(m, 1.0 / np.sqrt(n_eff))
+    df = {"beta": corr.sym() @ beta_true + rng.normal(0, se),
+          "beta_se": se, "n_eff": np.full(m, n_eff)}
+    blocks = np.full(m // block, block)
+    blocks[-1] += m - blocks.sum()
+    res = snp_ldpred2_auto(corr, df, h2_init=0.3, vec_p_init=[0.1],
+                           burn_in=3, num_iter=3, use_MLE=False,
+                           blocks=blocks)[0]
+    assert np.isfinite(res["beta_est"]).all()
+    assert res["dropped_r2_frac"] == 0.0  # boundary-aligned blocks
 
 
 def test_fastimpute_5k_x_20k():
