@@ -54,11 +54,23 @@ class GenoPack:
         return (self.n, self.m)
 
     def device_packed(self):
-        """The packed bytes as a device array (cached)."""
+        """The packed bytes as a device array (cached).
+
+        Uploads in <=256 MB row slices concatenated on device: very
+        large single transfers have wedged the tunnel-attached TPU
+        runtime (CLAUDE.md round-1/2 postmortems — keep transfers small)."""
         import jax.numpy as jnp
 
         if self._device_cache is None:
-            object.__setattr__(self, "_device_cache", jnp.asarray(np.asarray(self.packed)))
+            src = np.asarray(self.packed)
+            chunk_rows = max(1, (256 << 20) // max(src.shape[1], 1))
+            if src.shape[0] <= chunk_rows:
+                dev = jnp.asarray(src)
+            else:
+                parts = [jnp.asarray(src[r0:r0 + chunk_rows])
+                         for r0 in range(0, src.shape[0], chunk_rows)]
+                dev = jnp.concatenate(parts, axis=0)
+            object.__setattr__(self, "_device_cache", dev)
         return self._device_cache
 
     def device_packed_padded(self, block: int):

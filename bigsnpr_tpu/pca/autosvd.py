@@ -51,8 +51,17 @@ def snp_autoSVD(
     max_iter: int = 5,
     verbose: bool = False,
     svd_kwargs: dict | None = None,
+    timer=None,
 ) -> BigSVD:
-    """Reference snp_autoSVD (R/autoSVD.R:67-186)."""
+    """Reference snp_autoSVD (R/autoSVD.R:67-186).
+
+    timer: an optional utils.profiling.StageTimer accumulating per-stage
+    wall times (maf / clumping / svd / outliers); also attached to the
+    result as .stage_times."""
+    from bigsnpr_tpu.utils.profiling import StageTimer
+
+    if timer is None:
+        timer = StageTimer()
     m_all = pack.m
     if infos_chr is None:
         infos_chr = (pack.map["chromosome"].to_numpy()
@@ -75,7 +84,8 @@ def snp_autoSVD(
     if not (min_mac > 0 and min_maf > 0):
         raise ValueError("set min_mac > 0 and min_maf > 0 "
                          "(cannot use variants with no variation)")
-    info = bed_MAF(pack, ind_row=ind_row)
+    with timer.stage("maf"):
+        info = bed_MAF(pack, ind_row=ind_row)
     info = info.iloc[ind_col]
     maf_nok = (info["mac"].to_numpy() < min_mac) | (info["maf"].to_numpy() < min_maf)
     log(f"Discarding {maf_nok.sum()} variants with MAC < {min_mac} or MAF < {min_maf}.")
@@ -85,9 +95,10 @@ def snp_autoSVD(
     if thr_r2 is not None and not np.isnan(thr_r2):
         log(f"Clumping (on MAF) at r^2 > {thr_r2}..")
         exclude = np.setdiff1d(np.arange(m_all), ind_keep)
-        ind_keep = snp_clumping(
-            pack, infos_chr=infos_chr, ind_row=ind_row, thr_r2=thr_r2,
-            size=size, infos_pos=infos_pos, exclude=exclude)
+        with timer.stage("clumping"):
+            ind_keep = snp_clumping(
+                pack, infos_chr=infos_chr, ind_row=ind_row, thr_r2=thr_r2,
+                size=size, infos_pos=infos_pos, exclude=exclude)
         log(f"keep {len(ind_keep)} variants.")
 
     lrldr_rows = []
@@ -95,21 +106,23 @@ def snp_autoSVD(
     while True:
         it += 1
         log(f"Iteration {it}: computing SVD..")
-        obj_svd = snp_randomSVD(pack, fun_scaling=fun_scaling,
-                                ind_row=ind_row, ind_col=ind_keep, k=k,
-                                **(svd_kwargs or {}))
+        with timer.stage("svd"):
+            obj_svd = snp_randomSVD(pack, fun_scaling=fun_scaling,
+                                    ind_row=ind_row, ind_col=ind_keep, k=k,
+                                    **(svd_kwargs or {}))
         if it > max_iter:
             log("Maximum number of iterations reached.")
             break
 
         # outlier variants (reference R/autoSVD.R:142-151)
-        S_col = np.sqrt(dist_ogk(obj_svd.v))
-        S2_col = np.empty_like(S_col)
-        for chrom in np.unique(infos_chr[ind_keep]):
-            ind = np.nonzero(infos_chr[ind_keep] == chrom)[0]
-            S2_col[ind] = rollmean(S_col[ind], roll_size)
-        thr = tukey_mc_up(S2_col, alpha=alpha_tukey)
-        ind_excl = np.nonzero(S2_col > thr)[0]
+        with timer.stage("outliers"):
+            S_col = np.sqrt(dist_ogk(obj_svd.v))
+            S2_col = np.empty_like(S_col)
+            for chrom in np.unique(infos_chr[ind_keep]):
+                ind = np.nonzero(infos_chr[ind_keep] == chrom)[0]
+                S2_col[ind] = rollmean(S_col[ind], roll_size)
+            thr = tukey_mc_up(S2_col, alpha=alpha_tukey)
+            ind_excl = np.nonzero(S2_col > thr)[0]
         log(f"{len(ind_excl)} outlier variants detected..")
 
         if len(ind_excl) == 0:
@@ -128,6 +141,7 @@ def snp_autoSVD(
         ind_keep = np.delete(ind_keep, ind_excl)
 
     obj_svd.subset = ind_keep
+    obj_svd.stage_times = timer.times
     obj_svd.lrldr = pd.DataFrame(
         lrldr_rows, columns=["Chr", "Start", "Stop", "Iter"]
     ).sort_values(["Chr", "Start", "Stop"]).reset_index(drop=True)

@@ -54,7 +54,8 @@ def main(quick=False, sweep=False, parts=None):
 
     btconfig.enable_compilation_cache()
     print("backend:", jax.default_backend(), jax.devices())
-    assert jax.default_backend() != "cpu", "no TPU reachable"
+    assert "--cpu" in sys.argv or jax.default_backend() != "cpu", \
+        "no TPU reachable"
 
     from bigsnpr_tpu.core.genotypes import GenoPack
     from bigsnpr_tpu.ops import pallas_kernels as pk
@@ -141,7 +142,62 @@ def main(quick=False, sweep=False, parts=None):
     if "cor" in parts:
         _cor_section(quick, pack, n)
 
+    # 6. full autoSVD pipeline wall time (BASELINE configs[0] rung)
+    if "autosvd" in parts:
+        _autosvd_section(quick)
+
     print("OK — update BENCH_NOTES.md with these numbers.")
+
+
+def _autosvd_section(quick):
+    """End-to-end autoSVD (MAF -> clump -> iterated randomSVD) at
+    1000G-class geometry (reference bed_autoSVD, R/autoSVD.R:226-339;
+    BASELINE configs[0]: 2,490 x 1.7M). Synthetic LD-structured pack so
+    clumping has real work to do."""
+    from bigsnpr_tpu.core.genotypes import GenoPack
+    from bigsnpr_tpu.core import unpack as up
+    from bigsnpr_tpu.pca.autosvd import snp_autoSVD
+    from bigsnpr_tpu.utils.profiling import StageTimer
+    import pandas as pd
+
+    n, m = (512, 100_000) if quick else (2490, 1_700_000)
+    rng = np.random.default_rng(1)
+    t0 = time.perf_counter()
+    # LD-structured synthetic genotypes in blocks of correlated variants:
+    # latent AR(1) per sample drives neighboring variants
+    codes = np.empty((m, (n + 3) // 4 * 4), dtype=np.uint8)
+    blk = 2_000
+    for b0 in range(0, m, 50_000):
+        b1 = min(b0 + 50_000, m)
+        mloc = b1 - b0
+        z = rng.standard_normal((mloc // 10 + 2, n))
+        idx = (np.arange(mloc) // 10)
+        latent = 0.7 * z[idx] + 0.3 * rng.standard_normal((mloc, n))
+        p = rng.uniform(0.1, 0.5, (mloc, 1))
+        from scipy.stats import norm
+
+        c = ((latent > norm.ppf((1 - p) ** 2)).astype(np.uint8)
+             + (latent > norm.ppf(1 - p ** 2)))
+        codes[b0:b1, :n] = np.array([0, 2, 3], np.uint8)[c]
+        codes[b0:b1, n:] = 1
+    pack = GenoPack(packed=up.np_pack_codes(codes[:, :]), n=n,
+                    map=pd.DataFrame({
+                        "chromosome": 1 + np.arange(m) // (m // 22 + 1),
+                        "physical.pos": (np.arange(m) % (m // 22 + 1)) * 1000,
+                    }))
+    del codes
+    print(f"synthetic pack built in {time.perf_counter()-t0:.0f}s "
+          f"({pack.packed.nbytes/1e6:.0f} MB packed)", flush=True)
+
+    timer = StageTimer()
+    t0 = time.perf_counter()
+    svd = snp_autoSVD(pack, infos_chr=pack.map["chromosome"].to_numpy(),
+                      infos_pos=pack.map["physical.pos"].to_numpy(),
+                      k=10, timer=timer, verbose=True)
+    dt = time.perf_counter() - t0
+    print(f"autoSVD k=10 @ {n}x{m}: {dt:.0f}s total; stage breakdown:")
+    print(timer.report(), flush=True)
+    print(f"kept {len(svd.subset)} variants, niter={svd.niter}")
 
 
 def _gibbs_section(quick, rng):
@@ -281,9 +337,9 @@ def supervised(quick, sweep):
     import subprocess
 
     sections = ["power"] + (["sweep"] if sweep else []) + \
-        ["svd", "gibbs", "cor"]
+        ["svd", "gibbs", "cor", "autosvd"]
     budget = {"power": 600, "sweep": 1800, "svd": 420,
-              "gibbs": 600, "cor": 420}
+              "gibbs": 600, "cor": 420, "autosvd": 1800}
     # PYTHONUNBUFFERED: a timeout-killed child must not take its
     # block-buffered partial results with it (lost the round-3 sweep)
     env = dict(os.environ, PYTHONUNBUFFERED="1")
