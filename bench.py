@@ -40,6 +40,9 @@ BASELINE_GVS = 10.0  # G genotype-visits/s, reference-class CPU estimate
 
 SIZES = {
     # name -> (m, n, l, iters); packed bytes = m * n / 4
+    "xl": (131072, 65536, 8, 20),      # 2 GB packed (manual runs:
+    #                                    BIGSNPR_BENCH_CHILD=1
+    #                                    BIGSNPR_BENCH_SIZE=xl python bench.py)
     "big": (131072, 16384, 8, 30),     # 512 MB packed
     "mid": (65536, 8192, 8, 30),       # 128 MB packed
     "cpu": (8192, 4096, 8, 3),
@@ -68,8 +71,15 @@ def _measure(size_name):
     log(f"backend={backend} size={size_name} m={m} n={n}")
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    packed = jax.device_put(
-        rng.integers(0, 256, size=(m, n // 4), dtype=np.uint8))
+    # upload in <=256 MB slices: very large single transfers have wedged
+    # the tunnel runtime (CLAUDE.md postmortems)
+    chunk_rows = max(1, (256 << 20) // (n // 4))
+    packed = jnp.concatenate(
+        [jax.device_put(rng.integers(0, 256, size=(rows, n // 4),
+                                     dtype=np.uint8))
+         for rows in ([chunk_rows] * (m // chunk_rows)
+                      + ([m % chunk_rows] if m % chunk_rows else []))],
+        axis=0)
     packed.block_until_ready()
     log(f"packed transfer {m * n // 4 / 1e6:.0f} MB in "
         f"{time.perf_counter() - t0:.1f}s")
