@@ -160,40 +160,53 @@ def _measure(size_name):
             cs[0] = np.asarray(center)
             cs[1] = 1.0 / np.asarray(scale)
             csj = jnp.asarray(cs)
-            perm = pk.sample_perm(n)
-            inv_perm = jnp.asarray(np.argsort(perm))
-            permj = jnp.asarray(perm)
+            perms = {}
+
+            def perm_pair(tnb):
+                if tnb not in perms:
+                    p = pk.sample_perm(n, tnb=tnb)
+                    perms[tnb] = (jnp.asarray(p),
+                                  jnp.asarray(np.argsort(p)))
+                return perms[tnb]
 
             from functools import partial
 
-            @partial(jax.jit, static_argnames=("tm", "mxu"))
-            def pallas_step_arg(packed, csj, permj, inv_perm, Q, tm, mxu):
+            @partial(jax.jit, static_argnames=("tm", "mxu", "tnb"))
+            def pallas_step_arg(packed, csj, permj, inv_perm, Q, tm, mxu,
+                                tnb):
                 Qp = (Q[:, :l] * 1e-3).T[:, permj]      # (l, n) permuted
-                Zt = pk.pallas_cprod(packed, Qp, csj, tm=tm, mxu=mxu)
-                Yt = pk.pallas_prod(packed, Zt, csj, tm=tm, mxu=mxu)
+                Zt = pk.pallas_cprod(packed, Qp, csj, tm=tm, mxu=mxu,
+                                     tnb=tnb)
+                Yt = pk.pallas_prod(packed, Zt, csj, tm=tm, mxu=mxu,
+                                    tnb=tnb)
                 return Yt[:, inv_perm].T
 
             best_dt, best_cfg = None, None
-            for tm, mxu in ((512, "int8"), (512, "split2"),
-                            (512, "highest")):
-                def pallas_step(Q, tm=tm, mxu=mxu):
+            for tm, mxu, tnb in ((512, "int8", 512), (512, "int8", 1024),
+                                 (512, "split2", 512), (512, "int8", 128),
+                                 (512, "split2", 128), (512, "highest", 128)):
+                permj, inv_perm = perm_pair(tnb)
+
+                def pallas_step(Q, tm=tm, mxu=mxu, tnb=tnb,
+                                permj=permj, inv_perm=inv_perm):
                     return pallas_step_arg(packed, csj, permj, inv_perm,
-                                           Q, tm, mxu)
+                                           Q, tm, mxu, tnb)
 
                 try:
                     dt_p = timeit(pallas_step, Q0, iters,
-                                  label=f"pallas_tm{tm}_{mxu}")
+                                  label=f"pallas_tm{tm}_{mxu}_tnb{tnb}")
                 except Exception as e:  # noqa: BLE001 - per-config report
-                    log(f"pallas[tm={tm},{mxu}] FAILED: "
+                    log(f"pallas[tm={tm},{mxu},tnb={tnb}] FAILED: "
                         f"{type(e).__name__}: {e}")
                     continue
-                log(f"pallas[tm={tm},{mxu}]: {dt_p*1e3:.1f} ms/iter -> "
-                    f"{2.0*m*n/dt_p/1e9:.1f} GVS")
+                log(f"pallas[tm={tm},{mxu},tnb={tnb}]: {dt_p*1e3:.1f} "
+                    f"ms/iter -> {2.0*m*n/dt_p/1e9:.1f} GVS")
                 if best_dt is None or dt_p < best_dt:
-                    best_dt, best_cfg = dt_p, (tm, mxu)
+                    best_dt, best_cfg = dt_p, (tm, mxu, tnb)
             if best_dt is not None:
                 results["gvs_pallas"] = round(2.0 * m * n / best_dt / 1e9, 2)
-                results["pallas_tm"], results["pallas_mxu"] = best_cfg
+                (results["pallas_tm"], results["pallas_mxu"],
+                 results["pallas_tnb"]) = best_cfg
         except Exception as e:  # noqa: BLE001 - reported, not swallowed
             log(f"pallas path FAILED: {type(e).__name__}: {e}")
             results["error_pallas"] = f"{type(e).__name__}: {e}"[:200]

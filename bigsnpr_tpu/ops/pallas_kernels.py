@@ -30,15 +30,20 @@ TNB = 128         # byte-tile lanes (= 512 samples)
 TN = 4 * TNB
 
 
-def sample_perm(n_pad: int) -> np.ndarray:
-    """Permutation p with kernel-sample k == true-sample p[k]."""
-    assert n_pad % TN == 0
-    tiles = n_pad // TN
-    base = np.arange(TNB)
+def sample_perm(n_pad: int, tnb: int = TNB) -> np.ndarray:
+    """Permutation p with kernel-sample k == true-sample p[k].
+
+    tnb = byte-tile lanes (the kernels' sample tile is 4*tnb samples);
+    the bit-plane order depends on it, so operators must build Q/V
+    permutations with the same tnb they pass to the kernels."""
+    tn = 4 * tnb
+    assert n_pad % tn == 0
+    tiles = n_pad // tn
+    base = np.arange(tnb)
     perm = []
     for t in range(tiles):
         for k in range(4):
-            perm.append(TN * t + 4 * base + k)
+            perm.append(tn * t + 4 * base + k)
     return np.concatenate(perm)
 
 
@@ -165,6 +170,17 @@ def _decode_int_planes_i8(pb32):
             jnp.concatenate(NA_planes, axis=1))
 
 
+def _decode_int_plane_k_i8(pb32, k):
+    """Single byte-plane k of the int8 decode: (T_k, NA_k), each the
+    tile-shaped int8 plane. Emitting planes one at a time keeps the
+    kernel's live VMEM ~4x smaller than the concatenated decode (the
+    concat form hits the 16 MB scoped-vmem ceiling at tnb=1024)."""
+    b0 = (pb32 >> (2 * k)) & 1
+    b1 = (pb32 >> (2 * k + 1)) & 1
+    u = b0 & b1
+    return (b1 + u).astype(jnp.int8), (b0 - u).astype(jnp.int8)
+
+
 def _int8_planes(y):
     """y (l, n) f32 -> (NPLANES*l, n) int8 radix-128 digits + per-row
     scale (l,) f32: y[r] = scale[r] * sum_p planes[p*l+r] / 128**p, with
@@ -199,14 +215,26 @@ def _dot_i8_t(a, b):
 
 def _cprod_kernel_i8(pb_ref, q8_ref, out_ref):
     """Accumulates raw [pt; pna] (2l, TM) in q-digit units; the
-    center/scale epilogue happens outside the kernel on (l, m)."""
+    center/scale epilogue happens outside the kernel on (l, m).
+
+    Per-byte-plane dots (k = 0..3): same MXU cycles as one concatenated
+    GEMM, a quarter of the live VMEM."""
     j = pl.program_id(1)
-    T, NA = _decode_int_planes_i8(pb_ref[...].astype(jnp.int32))
+    pb32 = pb_ref[...].astype(jnp.int32)
     q8 = q8_ref[...]                             # (NPLANES*l, TN)
     l = q8.shape[0] // NPLANES
-    pt = _combine_planes(_dot_i8_t(q8, T), l)    # (l, TM)
-    pna = _combine_planes(_dot_i8_t(q8, NA), l)
-    part = jnp.concatenate([pt, pna], axis=0)    # (2l, TM)
+    tnb = pb32.shape[1]
+    ptw = None
+    pnaw = None
+    for k in range(4):
+        Tk, NAk = _decode_int_plane_k_i8(pb32, k)
+        qk = q8[:, k * tnb:(k + 1) * tnb]
+        tw = _dot_i8_t(qk, Tk)
+        nw = _dot_i8_t(qk, NAk)
+        ptw = tw if ptw is None else ptw + tw
+        pnaw = nw if pnaw is None else pnaw + nw
+    part = jnp.concatenate(
+        [_combine_planes(ptw, l), _combine_planes(pnaw, l)], axis=0)
 
     @pl.when(j == 0)
     def _():
@@ -217,17 +245,21 @@ def _cprod_kernel_i8(pb_ref, q8_ref, out_ref):
 
 def _prod_kernel_i8(pb_ref, zb8_ref, za8_ref, out_ref):
     i = pl.program_id(1)
-    T, NA = _decode_int_planes_i8(pb_ref[...].astype(jnp.int32))
+    pb32 = pb_ref[...].astype(jnp.int32)
     zb8 = zb8_ref[...]                           # (NPLANES*l, TM)
     za8 = za8_ref[...]
     l = zb8.shape[0] // NPLANES
-    pt = _combine_planes(
-        jax.lax.dot_general(zb8, T, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32), l)
-    pna = _combine_planes(
-        jax.lax.dot_general(za8, NA, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32), l)
-    part = jnp.concatenate([pt, pna], axis=0)    # (2l, TN)
+    parts = []
+    for k in range(4):
+        Tk, NAk = _decode_int_plane_k_i8(pb32, k)
+        pt = _combine_planes(
+            jax.lax.dot_general(zb8, Tk, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32), l)
+        pna = _combine_planes(
+            jax.lax.dot_general(za8, NAk, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32), l)
+        parts.append(jnp.concatenate([pt, pna], axis=0))  # (2l, tnb)
+    part = jnp.concatenate(parts, axis=1)        # (2l, TN)
 
     @pl.when(i == 0)
     def _():
@@ -236,18 +268,18 @@ def _prod_kernel_i8(pb_ref, zb8_ref, za8_ref, out_ref):
     out_ref[...] += part
 
 
-def _pallas_cprod_i8(packed, Qp, cs, interpret=False, tm=TM):
+def _pallas_cprod_i8(packed, Qp, cs, interpret=False, tm=TM, tnb=TNB):
     """int8-MXU cprod: (l, n_pad) permuted f32 -> (l, m) f32."""
     m, nb = packed.shape
     l = Qp.shape[0]
     q8, qscale = _int8_planes(Qp)
-    grid = (m // tm, nb // TNB)
+    grid = (m // tm, nb // tnb)
     raw = pl.pallas_call(
         _cprod_kernel_i8,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, TNB), lambda i, j: (i, j)),
-            pl.BlockSpec((NPLANES * l, TN), lambda i, j: (0, j)),
+            pl.BlockSpec((tm, tnb), lambda i, j: (i, j)),
+            pl.BlockSpec((NPLANES * l, 4 * tnb), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((2 * l, tm), lambda i, j: (0, i)),
         out_shape=jax.ShapeDtypeStruct((2 * l, m), jnp.float32),
@@ -261,7 +293,7 @@ def _pallas_cprod_i8(packed, Qp, cs, interpret=False, tm=TM):
     return (qsum - pna) * A[None, :] - pt * s_row[None, :]
 
 
-def _pallas_prod_i8(packed, Zt, cs, interpret=False, tm=TM):
+def _pallas_prod_i8(packed, Zt, cs, interpret=False, tm=TM, tnb=TNB):
     """int8-MXU prod: Zt (l, m) f32 -> (l, n_pad) permuted f32."""
     m, nb = packed.shape
     l = Zt.shape[0]
@@ -270,16 +302,16 @@ def _pallas_prod_i8(packed, Zt, cs, interpret=False, tm=TM):
     zB = Zt * s_row[None, :]
     zb8, zbs = _int8_planes(zB)
     za8, zas = _int8_planes(zA)
-    grid = (nb // TNB, m // tm)
+    grid = (nb // tnb, m // tm)
     raw = pl.pallas_call(
         _prod_kernel_i8,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, TNB), lambda j, i: (i, j)),
+            pl.BlockSpec((tm, tnb), lambda j, i: (i, j)),
             pl.BlockSpec((NPLANES * l, tm), lambda j, i: (0, i)),
             pl.BlockSpec((NPLANES * l, tm), lambda j, i: (0, i)),
         ],
-        out_specs=pl.BlockSpec((2 * l, TN), lambda j, i: (0, j)),
+        out_specs=pl.BlockSpec((2 * l, 4 * tnb), lambda j, i: (0, j)),
         out_shape=jax.ShapeDtypeStruct((2 * l, nb * 4), jnp.float32),
         interpret=interpret,
     )(packed, zb8, za8)
@@ -305,27 +337,31 @@ def _cprod_kernel(pb_ref, q_ref, cs_ref, out_ref):
     out_ref[...] += part
 
 
-@partial(jax.jit, static_argnames=("interpret", "tm", "mxu"))
-def pallas_cprod(packed, Qp, cs, interpret=False, tm=TM, mxu="highest"):
+@partial(jax.jit, static_argnames=("interpret", "tm", "mxu", "tnb"))
+def pallas_cprod(packed, Qp, cs, interpret=False, tm=TM, mxu="highest",
+                 tnb=TNB):
     """X̃ᵀ-product: (m, nb) packed, Qp (l, n_pad) permuted, cs (2+, m)
     [center; 1/scale] -> (l, m). l must be a multiple of 8; m a multiple
-    of the variant tile `tm` (tunable, default TM).
+    of the variant tile `tm`; nb a multiple of the byte tile `tnb`
+    (bigger tiles amortize per-grid-step overhead — measured ~1 us/step).
+    Qp must be permuted with sample_perm(n_pad, tnb).
 
     mxu: "highest" = f32 6-pass GEMM on the decoded tile; "split2" =
     exact-integer bf16 bit-plane GEMMs with row-stacked hi/lo Q
     (~f32-accurate, 2 narrow passes); "int8" = int8-MXU bit planes with
     radix-128 Q digits (~f32-accurate, 2 double-rate passes)."""
     if mxu == "int8":
-        return _pallas_cprod_i8(packed, Qp, cs, interpret=interpret, tm=tm)
+        return _pallas_cprod_i8(packed, Qp, cs, interpret=interpret, tm=tm,
+                                tnb=tnb)
     m, nb = packed.shape
     l = Qp.shape[0]
-    grid = (m // tm, nb // TNB)
+    grid = (m // tm, nb // tnb)
     return pl.pallas_call(
         _cprod_kernel_split if mxu == "split2" else _cprod_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, TNB), lambda i, j: (i, j)),
-            pl.BlockSpec((l, TN), lambda i, j: (0, j)),
+            pl.BlockSpec((tm, tnb), lambda i, j: (i, j)),
+            pl.BlockSpec((l, 4 * tnb), lambda i, j: (0, j)),
             pl.BlockSpec((cs.shape[0], tm), lambda i, j: (0, i)),
         ],
         out_specs=pl.BlockSpec((l, tm), lambda i, j: (0, i)),
@@ -349,63 +385,69 @@ def _prod_kernel(pb_ref, z_ref, cs_ref, out_ref):
     out_ref[...] += part
 
 
-@partial(jax.jit, static_argnames=("interpret", "tm", "mxu"))
-def pallas_prod(packed, Zt, cs, interpret=False, tm=TM, mxu="highest"):
+@partial(jax.jit, static_argnames=("interpret", "tm", "mxu", "tnb"))
+def pallas_prod(packed, Zt, cs, interpret=False, tm=TM, mxu="highest",
+                tnb=TNB):
     """X̃-product: Zt (l, m) -> (l, n_pad) permuted-sample outputs."""
     if mxu == "int8":
-        return _pallas_prod_i8(packed, Zt, cs, interpret=interpret, tm=tm)
+        return _pallas_prod_i8(packed, Zt, cs, interpret=interpret, tm=tm,
+                               tnb=tnb)
     m, nb = packed.shape
     l = Zt.shape[0]
-    grid = (nb // TNB, m // tm)
+    grid = (nb // tnb, m // tm)
     return pl.pallas_call(
         _prod_kernel_split if mxu == "split2" else _prod_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, TNB), lambda j, i: (i, j)),
+            pl.BlockSpec((tm, tnb), lambda j, i: (i, j)),
             pl.BlockSpec((l, tm), lambda j, i: (0, i)),
             pl.BlockSpec((cs.shape[0], tm), lambda j, i: (0, i)),
         ],
-        out_specs=pl.BlockSpec((l, TN), lambda j, i: (0, j)),
+        out_specs=pl.BlockSpec((l, 4 * tnb), lambda j, i: (0, j)),
         out_shape=jax.ShapeDtypeStruct((l, nb * 4), jnp.float32),
         interpret=interpret,
     )(packed, Zt, cs)
 
 
-@partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret", "mxu"))
+@partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret", "mxu",
+                                   "tnb"))
 def _cprod_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret,
-               mxu="highest"):
+               mxu="highest", tnb=TNB):
     """Scatter V (n_sub, l) into kernel sample order, run cprod, gather
     the ind_col rows on device -> (m_sub, l). One device round-trip."""
     l = V.shape[1]
     Qk = jnp.zeros((n_pad, l_pad), jnp.float32).at[row_pos, :l].set(V)
-    out = pallas_cprod(packed, Qk.T, cs, interpret=interpret, mxu=mxu)
+    out = pallas_cprod(packed, Qk.T, cs, interpret=interpret, mxu=mxu,
+                       tnb=tnb)
     return out[:l][:, col_idx].T
 
 
-@partial(jax.jit, static_argnames=("l_pad", "interpret", "mxu"))
+@partial(jax.jit, static_argnames=("l_pad", "interpret", "mxu", "tnb"))
 def _prod_sub(packed, cs, U, row_pos, col_idx, l_pad, interpret,
-              mxu="highest"):
+              mxu="highest", tnb=TNB):
     """Scatter U (m_sub, l) into full variant space, run prod, gather
     the ind_row samples on device -> (n_sub, l)."""
     l = U.shape[1]
     m_pad = packed.shape[0]
     Zk = jnp.zeros((m_pad, l_pad), jnp.float32).at[col_idx, :l].set(U)
-    out = pallas_prod(packed, Zk.T, cs, interpret=interpret, mxu=mxu)
+    out = pallas_prod(packed, Zk.T, cs, interpret=interpret, mxu=mxu,
+                      tnb=tnb)
     return out[:l].T[row_pos]
 
 
-@partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret", "mxu"))
+@partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret", "mxu",
+                                   "tnb"))
 def _power_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret,
-               mxu="highest"):
+               mxu="highest", tnb=TNB):
     """Fused power step: one device program computing B = X̃ᵀV (gathered
     to ind_col) and Y = X̃·mask(B) (gathered to ind_row); the wide
     intermediate never crosses the host link."""
     l = V.shape[1]
     Qk = jnp.zeros((n_pad, l_pad), jnp.float32).at[row_pos, :l].set(V)
-    B = pallas_cprod(packed, Qk.T, cs, interpret=interpret, mxu=mxu)
+    B = pallas_cprod(packed, Qk.T, cs, interpret=interpret, mxu=mxu, tnb=tnb)
     m_pad = packed.shape[0]
     Bm = jnp.zeros((m_pad, l_pad), jnp.float32).at[col_idx].set(B.T[col_idx])
-    Y = pallas_prod(packed, Bm.T, cs, interpret=interpret, mxu=mxu)
+    Y = pallas_prod(packed, Bm.T, cs, interpret=interpret, mxu=mxu, tnb=tnb)
     return B[:l][:, col_idx].T, Y[:l].T[row_pos]
 
 
@@ -421,7 +463,8 @@ class PallasOperator:
     """
 
     def __init__(self, pack, center, scale, interpret: bool | None = None,
-                 ind_row=None, ind_col=None, mxu: str | None = None):
+                 ind_row=None, ind_col=None, mxu: str | None = None,
+                 tnb: int | None = None):
         from bigsnpr_tpu import config
 
         m, nb = pack.packed.shape
@@ -433,9 +476,13 @@ class PallasOperator:
         # (int8-MXU bit planes, radix-128 digits); default from
         # config.pallas_mxu (env BIGSNPR_PALLAS_MXU)
         self.mxu = mxu if mxu is not None else config.pallas_mxu
+        # byte-tile lanes: bigger sample tiles amortize the ~1 us
+        # per-grid-step overhead (measured); small packs keep one tile
+        self.tnb = tnb if tnb is not None else int(
+            min(512, max(TNB, 1 << (max(nb, 1) - 1).bit_length())))
 
         m_pad = -(-m // TM) * TM
-        nb_pad = -(-nb // TNB) * TNB
+        nb_pad = -(-nb // self.tnb) * self.tnb
         self.n_pad = nb_pad * 4
         base = (pack.device_packed() if hasattr(pack, "device_packed")
                 else jnp.asarray(np.asarray(pack.packed)))
@@ -463,7 +510,7 @@ class PallasOperator:
         cs[1] = inv
         self.cs = jnp.asarray(cs)
 
-        self.perm = sample_perm(self.n_pad)
+        self.perm = sample_perm(self.n_pad, tnb=self.tnb)
         self.inv_perm = np.argsort(self.perm)
         rows = np.arange(n) if ind_row is None else np.asarray(ind_row)
         cols = np.arange(m) if ind_col is None else np.asarray(ind_col)
@@ -483,7 +530,7 @@ class PallasOperator:
         l_pad = V.shape[1] + (-V.shape[1]) % 8
         out = np.asarray(_cprod_sub(self.packed, self.cs, V, self.row_pos,
                                     self.col_idx, self.n_pad, l_pad,
-                                    self.interpret, self.mxu))
+                                    self.interpret, self.mxu, self.tnb))
         return out[:, 0] if squeeze else out
 
     def prod(self, U):
@@ -492,7 +539,7 @@ class PallasOperator:
         l_pad = U.shape[1] + (-U.shape[1]) % 8
         out = np.asarray(_prod_sub(self.packed, self.cs, U, self.row_pos,
                                    self.col_idx, l_pad, self.interpret,
-                                   self.mxu))
+                                   self.mxu, self.tnb))
         return out[:, 0] if squeeze else out
 
     def power(self, V):
@@ -507,4 +554,4 @@ class PallasOperator:
         l_pad = V.shape[1] + (-V.shape[1]) % 8
         return _power_sub(self.packed, self.cs, V, self.row_pos,
                           self.col_idx, self.n_pad, l_pad, self.interpret,
-                          self.mxu)
+                          self.mxu, self.tnb)

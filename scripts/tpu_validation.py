@@ -105,7 +105,7 @@ def main(quick=False, sweep=False, parts=None):
     if sweep and "sweep" in parts:
         op = ops["pallas"]
         for mxu in ("int8", "split2", "highest"):
-            for tm in (128, 256, 512, 1024):
+            for tm in (256, 512, 1024):
                 if op.packed.shape[0] % tm:
                     continue
 
@@ -113,12 +113,13 @@ def main(quick=False, sweep=False, parts=None):
                     Qk = jnp.zeros((op.n_pad, l), jnp.float32).at[
                         op.row_pos].set(Q * 1e-3)
                     B = pk.pallas_cprod(op.packed, Qk.T, op.cs, tm=tm,
-                                        mxu=mxu)
-                    Y = pk.pallas_prod(op.packed, B, op.cs, tm=tm, mxu=mxu)
+                                        mxu=mxu, tnb=op.tnb)
+                    Y = pk.pallas_prod(op.packed, B, op.cs, tm=tm, mxu=mxu,
+                                       tnb=op.tnb)
                     return Y[:l].T[op.row_pos]
 
                 dt = timeit_chained(step, jnp.asarray(Q0), iters=5)
-                print(f"  TM={tm} {mxu}: {dt*1e3:.1f} ms -> "
+                print(f"  TM={tm} {mxu} tnb={op.tnb}: {dt*1e3:.1f} ms -> "
                       f"{2*m*n/dt/1e9:.0f} G visits/s", flush=True)
 
     # 3. SVD wall time
