@@ -184,8 +184,45 @@ def test_int8_mxu_parity():
     Y = op.prod(U)
     ref2 = xt.T @ U
     assert np.abs(Y - ref2).max() / np.abs(ref2).max() < 5e-6
-    # fused power step too
+    # fused power step too (cross-program f32 reduction order differs,
+    # so compare max-normalized, not per-element relative)
     Bp, Yp = op.power(V)
-    np.testing.assert_allclose(Bp, B, rtol=1e-6, atol=1e-6)
+    assert np.abs(Bp - ref).max() / np.abs(ref).max() < 5e-6
     ref3 = xt.T @ ref
     assert np.abs(Yp - ref3).max() / np.abs(ref3).max() < 5e-6
+
+
+def test_int8_nona_parity():
+    """NA-free fast path (auto-detected): skips the NA plane, exact on
+    imputed packs."""
+    from bigsnpr_tpu.core import unpack
+    from bigsnpr_tpu.core.genotypes import GenoPack
+    from bigsnpr_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(7)
+    m, n, l = 256, 1000, 8  # n % 4 != 0: exercises the partial last byte
+    codes = rng.choice(np.array([0, 2, 3], np.uint8), size=(m, n))
+    packed = unpack.np_pack_codes(codes)
+    center = rng.uniform(0.2, 1.8, m)
+    scale = rng.uniform(0.3, 1.0, m)
+    d = (2 - ((codes.astype(int) + 1) >> 1)).astype(float)
+    xt = (d - center[:, None]) / scale[:, None]
+
+    pack = GenoPack(packed=packed, n=n)
+    op = pk.PallasOperator(pack, center, scale, interpret=True, mxu="int8")
+    assert op.nona is True  # auto-detected
+    V = rng.standard_normal((n, l)).astype(np.float32)
+    B = op.cprod(V)
+    ref = xt @ V
+    assert np.abs(B - ref).max() / np.abs(ref).max() < 5e-6
+    U = rng.standard_normal((m, l)).astype(np.float32)
+    Y = op.prod(U)
+    ref2 = xt.T @ U
+    assert np.abs(Y - ref2).max() / np.abs(ref2).max() < 5e-6
+    # a pack containing NA must NOT take the fast path
+    codes_na = codes.copy()
+    codes_na[0, 0] = 1
+    op_na = pk.PallasOperator(GenoPack(packed=unpack.np_pack_codes(codes_na),
+                                       n=n), center, scale, interpret=True,
+                              mxu="int8")
+    assert op_na.nona is False
