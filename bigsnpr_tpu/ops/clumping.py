@@ -30,11 +30,36 @@ from bigsnpr_tpu.ops.stats import snp_colstats
 
 def _conflict_edges(sub, pos, size_scaled, thr_r2, block=512):
     """(i, j) pairs (i < j) within the window with r^2 > thr_r2."""
+    import jax
+
     n, m = sub.n, sub.m
     left_start = _window_geometry(pos, size_scaled)
     is_dosage = hasattr(sub, "code256")
     data = sub.codes if is_dosage else sub.packed
     code256 = sub.code256 if is_dosage else None
+    if not is_dosage and jax.default_backend() == "tpu":
+        # device-compacted pairs: only kept edges cross the host link
+        # (the host-finalize path ships six dense f64 sum planes per
+        # block — tunnel-bound at millions of variants; the round-3
+        # 1.7M-variant autoSVD clumping stage hit exactly that)
+        from bigsnpr_tpu.ops.corr import _iter_kept_pairs_device, \
+            cor_thresholds
+
+        THR = cor_thresholds(n, 1.0)            # alpha=1: keep-all
+        thr_floor = float(np.sqrt(thr_r2))
+        ei, ej = [], []
+        for jj, ii, vals in _iter_kept_pairs_device(
+                data, n, m, left_start, THR, thr_floor, block):
+            # strict > thr_r2 (compact keeps |r| > floor, same pairs up
+            # to f32-exact equality); drop NaN pairs (no conflict)
+            ok = np.isfinite(vals) & (vals.astype(np.float64) ** 2 > thr_r2)
+            if ok.any():
+                ej.append(jj[ok])
+                ei.append(ii[ok])
+        if not ei:
+            return (np.array([], dtype=np.int64),
+                    np.array([], dtype=np.int64))
+        return np.concatenate(ei), np.concatenate(ej)
     ei, ej = [], []
     for t0, t1, b0, sums in _iter_band_blocks(data, n, m, left_start, block,
                                               code256=code256):

@@ -314,6 +314,47 @@ def _iter_band_blocks(packed, n, m, left_start, block, code256=None):
         yield t0, t1, b0, tuple(np.asarray(s, dtype=np.float64) for s in sums)
 
 
+def _iter_kept_pairs_device(packed, n, m, left_start, THR, thr_floor,
+                            block=512):
+    """Device-compacted kept pairs: yields (j, i, r) arrays per target
+    block (j = target/right member, i = left neighbor). Only ~nnz values
+    cross the host link — the at-scale path for snp_cor and clumping
+    (the host-finalize path ships six dense f64 sum planes per block:
+    ~50 bytes/pair, which is tunnel-bound at millions of variants)."""
+    packed_h = _na_pad_tail(np.asarray(packed), n)
+    # HBM-resident when it fits comfortably; otherwise stream the
+    # target+band byte rows per block (bands overlap, so streamed
+    # upload is < 2x the matrix — the at-scale path).
+    resident = packed_h.nbytes <= 4 * 2**30
+    dev_packed = jnp.asarray(packed_h) if resident else None
+    THR_d = jnp.asarray(np.nan_to_num(THR, nan=np.inf), dtype=jnp.float32)
+    cap = 1 << 14
+    for t0 in range(0, m, block):
+        t1 = min(t0 + block, m)
+        b0 = int(left_start[t0:t1].min())
+        Wb = t1 - b0
+        if resident:
+            pt, pb = dev_packed[t0:t1], dev_packed[b0:t1]
+        else:
+            pb = jnp.asarray(packed_h[b0:t1])
+            pt = pb[t0 - b0:]
+        ls_d = jnp.asarray(left_start[t0:t1], dtype=jnp.int32)
+        while True:
+            buf = np.asarray(_pair_r_compact_block(
+                pt, pb, jnp.int32(t0), jnp.int32(b0), ls_d,
+                THR_d, jnp.float32(thr_floor), n, cap,
+                config.matmul_precision))
+            cnt = int(buf[0])
+            if cnt <= cap:
+                break
+            cap = 1 << (cnt - 1).bit_length()   # grow (monotone) & retry
+        if cnt:
+            idxs = buf[1:1 + cnt]
+            vals = buf[1 + cap:1 + cap + cnt].view(np.float32)
+            ii, kk = np.divmod(idxs, Wb)
+            yield t0 + ii, b0 + kk, vals
+
+
 def _pair_r(sums):
     """f64 pairwise-complete Pearson r from the six sums (may be NaN)."""
     Sxy, Sx, Sy, Sxx, Syy, Np = sums
@@ -393,40 +434,12 @@ def snp_cor(
 
     cols_i, cols_j, cols_x = [], [], []
     if finalize == "device":
-        packed_h = _na_pad_tail(np.asarray(sub.packed), n)
-        # HBM-resident when it fits comfortably; otherwise stream the
-        # target+band byte rows per block (bands overlap, so streamed
-        # upload is < 2x the matrix — the at-scale path).
-        resident = packed_h.nbytes <= 4 * 2**30
-        dev_packed = jnp.asarray(packed_h) if resident else None
-        THR_d = jnp.asarray(np.nan_to_num(THR, nan=np.inf), dtype=jnp.float32)
-        cap = 1 << 14
-        for t0 in range(0, m, block):
-            t1 = min(t0 + block, m)
-            b0 = int(left_start[t0:t1].min())
-            Wb = t1 - b0
-            if resident:
-                pt, pb = dev_packed[t0:t1], dev_packed[b0:t1]
-            else:
-                pb = jnp.asarray(packed_h[b0:t1])
-                pt = pb[t0 - b0:]
-            ls_d = jnp.asarray(left_start[t0:t1], dtype=jnp.int32)
-            while True:
-                buf = np.asarray(_pair_r_compact_block(
-                    pt, pb, jnp.int32(t0), jnp.int32(b0), ls_d,
-                    THR_d, jnp.float32(thr_floor), n, cap,
-                    config.matmul_precision))
-                cnt = int(buf[0])
-                if cnt <= cap:
-                    break
-                cap = 1 << (cnt - 1).bit_length()   # grow (monotone) & retry
-            if cnt:
-                idxs = buf[1:1 + cnt]
-                vals = buf[1 + cap:1 + cap + cnt].view(np.float32)
-                ii, kk = np.divmod(idxs, Wb)
-                cols_j.append(t0 + ii)
-                cols_i.append(b0 + kk)
-                cols_x.append(vals.astype(np.float64))
+        for jj, ii, vals in _iter_kept_pairs_device(
+                np.asarray(sub.packed), n, m, left_start, THR, thr_floor,
+                block):
+            cols_j.append(jj)
+            cols_i.append(ii)
+            cols_x.append(vals.astype(np.float64))
     else:
         for t0, t1, b0, sums in _iter_band_blocks(data, n, m, left_start,
                                                   block, code256=code256):

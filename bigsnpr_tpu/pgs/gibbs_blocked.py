@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bigsnpr_tpu.pgs.gibbs import _sweep_gibbs, _mle_alpha_profile, MIN_H2
+from bigsnpr_tpu.pgs.gibbs import _mle_alpha_profile, MIN_H2
 from bigsnpr_tpu.pgs.band import build_band
 
 
@@ -68,6 +68,7 @@ class BlockBands:
         self.m = m
         self.dropped_r2 = float(dropped_r2)
         self.kept_r2 = float(kept_r2)
+        self._dev_cache = {}
 
     @property
     def dropped_r2_frac(self):
@@ -79,12 +80,44 @@ class BlockBands:
         return sum(b.nbytes for b, _ in self.buckets)
 
     def device_put(self, shard=False, mesh=None):
-        """Move bands to device; with shard=True partition each bucket's
-        block axis over a 1-D device mesh (GSPMD then runs per-block scans
-        on separate chips and all-reduces the per-sweep hyper-parameter
-        sums over ICI)."""
+        """Move bands to device in the samplers' TPU-native layout:
+        bands_t (mbk, wk + 8, Bk) — band width in sublanes, blocks in
+        lanes — and gidx_t (mbk, Bk). Two alignment transforms (both
+        measured ~100x on chip):
+        - row j is pre-shifted by j % 8 sublanes, so every dp slice
+          starts at a multiple-of-8 offset (Mosaic requires provably
+          aligned sublane offsets; the XLA twin uses the same layout);
+        - Bk is padded to aligned lanes (64-multiples) with inert dead
+          blocks (zero band, gidx -1).
+        With shard=True partition each bucket's block (lane) axis over
+        a 1-D device mesh (GSPMD then runs per-block scans on separate
+        chips and all-reduces the per-sweep hyper-parameter sums over
+        ICI). Results are cached per shard mode (the host transform +
+        upload costs ~10 s at 100K variants — pay it once)."""
+        ck_key = (shard, id(mesh))
+        if ck_key in self._dev_cache:
+            return self._dev_cache[ck_key]
+        host = []
+        for b, g in self.buckets:
+            Bk0, mbk, wk = b.shape              # wk = 2*Wb + 1 (odd)
+            Wb = (wk - 1) // 2
+            BkP = 8 if Bk0 <= 8 else -(-Bk0 // 64) * 64
+            # width padded to (8-multiple) + 8 so every slice has an
+            # aligned SIZE as well as an aligned offset; the center sits
+            # at CK + (j % 8) with CK = (wk8 - 8) // 2 — consumers
+            # recover CK from shape alone
+            wk8 = -(-wk // 8) * 8 + 8
+            ck = (wk8 - 8) // 2
+            band8 = np.zeros((mbk, wk8, BkP), dtype=b.dtype)
+            r = np.arange(mbk) % 8
+            band8[np.arange(mbk)[:, None],
+                  (ck - Wb) + r[:, None] + np.arange(wk)[None, :], :Bk0] = \
+                b.transpose(1, 2, 0)
+            gP = np.full((mbk, BkP), -1, dtype=g.dtype)
+            gP[:, :Bk0] = g.T
+            host.append((band8, gP))
         if not shard:
-            bands = tuple(jnp.asarray(b) for b, _ in self.buckets)
+            bands = tuple(jnp.asarray(b) for b, _ in host)
         else:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -92,23 +125,25 @@ class BlockBands:
                 mesh = Mesh(np.asarray(jax.devices()), axis_names=("b",))
             nd = mesh.devices.size
             bands = []
-            for b, g in self.buckets:
-                pad = (-b.shape[0]) % nd
+            for b, g in host:
+                pad = (-b.shape[2]) % nd
                 if pad:
                     b = np.concatenate(
-                        [b, np.zeros((pad,) + b.shape[1:], b.dtype)], axis=0)
+                        [b, np.zeros(b.shape[:2] + (pad,), b.dtype)], axis=2)
                 bands.append(jax.device_put(
-                    jnp.asarray(b), NamedSharding(mesh, P("b", None, None))))
+                    jnp.asarray(b), NamedSharding(mesh, P(None, None, "b"))))
             bands = tuple(bands)
-        gidx = tuple(self._pad_gidx(bands[i].shape[0], i)
-                     for i in range(len(self.buckets)))
+        gidx = tuple(self._pad_gidx(host[i][1], bands[i].shape[2])
+                     for i in range(len(host)))
+        self._dev_cache[ck_key] = (bands, gidx)
         return bands, gidx
 
-    def _pad_gidx(self, Bk, i):
-        g = self.buckets[i][1]
-        if Bk > g.shape[0]:
+    @staticmethod
+    def _pad_gidx(g, Bk):
+        if Bk > g.shape[1]:
             g = np.concatenate(
-                [g, np.full((Bk - g.shape[0], g.shape[1]), -1, g.dtype)])
+                [g, np.full((g.shape[0], Bk - g.shape[1]), -1, g.dtype)],
+                axis=1)
         return jnp.asarray(g)
 
 
@@ -264,24 +299,87 @@ def auto_blocks(corr, ind_corr=None, max_block: int = 4096,
 # ---------------------------------------------------------------------------
 
 def _scatter_b(vals, gidx, fill=0.0):
-    """(m,) global -> (Bk, mbk) bucket slots; `fill` at padding."""
+    """(m,) global -> (mbk, Bk) bucket slots; `fill` at padding."""
     valid = gidx >= 0
     return jnp.where(valid, vals[jnp.clip(gidx, 0)], fill)
 
 
 def _gather_set(out, vals, gidx):
-    """Write bucket values (Bk, mbk) into global (m,) at valid slots."""
+    """Write bucket values (mbk, Bk) into global (m,) at valid slots."""
     m = out.shape[0]
     safe = jnp.where(gidx >= 0, gidx, m).reshape(-1)
     return out.at[safe].set(vals.reshape(-1), mode="drop")
 
 
+def _sweep_gibbs_batched(dp, curr_beta, bands_t, bh, C2, C4, sqrt1pC1,
+                         inv_odd_p, p, sparse, shrink_corr, no_jump_sign,
+                         u, z, W):
+    """One lockstep Gibbs sweep over a bucket in TPU-native layout.
+
+    Layout: blocks live in the LANE axis, the band width in sublanes —
+    bands_t (mbk, wk, Bk), dp (mbk + wk - 1, Bk), all per-variant
+    vectors (mbk, Bk). The scan then slices its leading axis natively
+    and dp updates are leading-dim dynamic slices; the previous
+    vmap-over-blocks layout made every step a lane-dim dynamic
+    slice/update — measured ~1.6 ms/step on chip vs ~us-class here
+    (the round-3 Gibbs TPU measurement: 31 variant-steps/ms, ~200x off
+    the reference's CPU loops — this layout is the fix)."""
+    sqrtC4 = jnp.sqrt(C4)
+    mbk = bands_t.shape[0]
+    ind = jnp.arange(mbk, dtype=jnp.int32)
+
+    def step(carry, xs):
+        dp, cur_h2_inc, gap = carry
+        j2, bh_j, c2, c4, s1c1, sc4, band_row, u_j, z_j, cb_j = xs
+        width = band_row.shape[0]                    # (wk8, Bk)
+        j0 = (j2 // 8) * 8                           # row j shifted by j%8
+        dp_slice = jax.lax.dynamic_slice(
+            dp, (j0, 0), (width, dp.shape[1]))       # (wk8, Bk)
+        dotprod = jax.lax.dynamic_slice(
+            dp, (j2 + W, 0), (1, dp.shape[1]))[0]    # (Bk,)
+        res = bh_j - shrink_corr * (dotprod - cb_j)
+        C3 = c2 * res
+        postp = 1.0 / (1.0 + inv_odd_p * s1c1 *
+                       jnp.exp(-C3 * C3 / c4 * 0.5))
+        samp = C3 + z_j * sc4
+        accept = postp > u_j
+        sparse_skip = sparse & (postp < p)
+        jump = no_jump_sign & (samp * cb_j < 0)
+        sampled = accept & ~sparse_skip & ~jump
+        new_beta = jnp.where(sampled, samp, 0.0)
+
+        dotprod_shrunk = shrink_corr * dotprod + (1 - shrink_corr) * cb_j
+        diff = new_beta - cb_j
+        dp = jax.lax.dynamic_update_slice(
+            dp, dp_slice + diff[None, :] * band_row, (j0, 0))
+        cur_h2_inc = cur_h2_inc + jnp.sum(diff * (2 * dotprod_shrunk + diff))
+        gap = gap + jnp.sum(jnp.where(sampled, samp * samp, 0.0))
+
+        avg_postp_inc = jnp.where(sparse_skip, 0.0, postp)
+        avg_beta_inc = jnp.where(sparse_skip, 0.0, C3 * postp)
+        ys = (new_beta, sampled, avg_postp_inc, avg_beta_inc, dotprod_shrunk)
+        return (dp, cur_h2_inc, gap), ys
+
+    xs = (ind, bh, C2, C4, sqrt1pC1, sqrtC4, bands_t, u, z, curr_beta)
+    (dp, h2_inc, gap), (new_beta, causal, postp_inc, beta_inc,
+                        dps) = jax.lax.scan(
+        step, (dp, jnp.asarray(0.0, dp.dtype), jnp.asarray(0.0, dp.dtype)),
+        xs)
+    return dp, new_beta, (gap, causal, h2_inc, postp_inc, beta_inc, dps)
+
+
 def _sweeps_bucketed(bands, gidx, dp_pads, curr_beta, consts, u, z,
-                     inv_odd_p, p, sparse, shrink_corr, no_jump_sign, m):
+                     inv_odd_p, p, sparse, shrink_corr, no_jump_sign, m,
+                     use_pallas=False):
     """One full Gibbs sweep over all buckets.
 
-    consts = (bh, C2, C4, s1) as global (m,) vectors; per-variant ys are
-    gathered back into global (m,) vectors, scalar aux summed."""
+    bands/gidx are device_put's transposed buckets: bands_t
+    (mbk, wk, Bk), gidx_t (mbk, Bk). consts = (bh, C2, C4, s1) as
+    global (m,) vectors; per-variant ys are gathered back into global
+    (m,) vectors, scalar aux summed.
+
+    use_pallas: run each bucket's sweep as the Pallas TPU kernel
+    (gibbs_pallas) — same math, dp resident in VMEM."""
     bh, C2, C4, s1 = consts
     nb_g = jnp.zeros(m, bands[0].dtype)
     postp_g = jnp.zeros(m, bands[0].dtype)
@@ -292,40 +390,107 @@ def _sweeps_bucketed(bands, gidx, dp_pads, curr_beta, consts, u, z,
     h2_inc = jnp.asarray(0.0, bands[0].dtype)
     dp2 = []
     for k, (bk, gk) in enumerate(zip(bands, gidx)):
-        Wk = (bk.shape[2] - 1) // 2
-        mbk = bk.shape[1]
-        ind = jnp.arange(mbk, dtype=jnp.int32)
+        Wk = (bk.shape[1] - 8) // 2      # center offset CK (see device_put)
+        if use_pallas:
+            from bigsnpr_tpu.pgs import gibbs_pallas as gp
 
-        def one(dp_pad, cb, band, bh_b, c2_b, c4_b, s1_b, u_b, z_b):
-            return _sweep_gibbs(dp_pad, cb, band, ind, bh_b, c2_b, c4_b,
-                                s1_b, inv_odd_p, p, sparse, shrink_corr,
-                                no_jump_sign, u_b, z_b, Wk)
-
-        dpk, nbk, aux = jax.vmap(one)(
-            dp_pads[k], _scatter_b(curr_beta, gk), bk,
-            _scatter_b(bh, gk), _scatter_b(C2, gk),
-            _scatter_b(C4, gk, 1.0), _scatter_b(s1, gk, 1.0),
-            _scatter_b(u, gk, 2.0), _scatter_b(z, gk))
-        gapk, causalk, h2k, postpk, betak, dpsk = aux
+            xin = gp.build_xin(
+                _scatter_b(bh, gk), _scatter_b(C2, gk),
+                _scatter_b(C4, gk, 1.0), _scatter_b(s1, gk, 1.0),
+                _scatter_b(u, gk, 2.0), _scatter_b(z, gk),
+                _scatter_b(curr_beta, gk), inv_odd_p, p, shrink_corr,
+                sparse)
+            ys, dpk, h2k, gapk = gp.sweep_bucket_pallas(
+                bk, xin, dp_pads[k], Wk, bool(no_jump_sign))
+            nbk = ys[:, 0, :]
+            causalk = ys[:, 1, :] != 0
+            postpk = ys[:, 2, :]
+            betak = ys[:, 3, :]
+            dpsk = ys[:, 4, :]
+        else:
+            dpk, nbk, aux = _sweep_gibbs_batched(
+                dp_pads[k], _scatter_b(curr_beta, gk), bk,
+                _scatter_b(bh, gk), _scatter_b(C2, gk),
+                _scatter_b(C4, gk, 1.0), _scatter_b(s1, gk, 1.0),
+                inv_odd_p, p, sparse, shrink_corr, no_jump_sign,
+                _scatter_b(u, gk, 2.0), _scatter_b(z, gk), Wk)
+            gapk, causalk, h2k, postpk, betak, dpsk = aux
         dp2.append(dpk)
         nb_g = _gather_set(nb_g, nbk, gk)
         postp_g = _gather_set(postp_g, postpk, gk)
         beta_g = _gather_set(beta_g, betak, gk)
         dps_g = _gather_set(dps_g, dpsk, gk)
         causal_g = _gather_set(causal_g, causalk, gk)
-        gap = gap + jnp.sum(gapk)
-        h2_inc = h2_inc + jnp.sum(h2k)
+        gap = gap + gapk
+        h2_inc = h2_inc + h2k
     return tuple(dp2), nb_g, (gap, causal_g, h2_inc, postp_g, beta_g, dps_g)
 
 
 def _dp0(bands):
-    return tuple(jnp.zeros((b.shape[0], b.shape[1] + b.shape[2] - 1),
+    """Zero dp state per transposed bucket: (mbk + wk8, Bk)."""
+    return tuple(jnp.zeros((b.shape[0] + b.shape[1], b.shape[2]),
                            b.dtype) for b in bands)
 
 
-@partial(jax.jit, static_argnames=("burn_in", "num_iter", "m"))
 def gibbs_one_blocked(bands, gidx, beta_hat, n_vec, h2, p, sparse, key,
-                      burn_in, num_iter, m):
+                      burn_in, num_iter, m, use_pallas=False):
+    """Block-parallel ldpred2_gibbs_one. bands/gidx from
+    BlockBands.device_put(); beta_hat/n_vec are (m,) in global order.
+    Returns (m,) avg betas (NaN on divergence).
+
+    use_pallas runs a host-driven loop of async-chained per-sweep
+    programs: the tunnel-attached TPU runtime serializes XLA while-loop
+    iterations around custom calls (~0.5 s/sweep measured), while
+    chained dispatches pipeline at the true ~13 ms/sweep."""
+    if not use_pallas:
+        return _gibbs_one_blocked_xla(
+            bands, gidx, beta_hat, n_vec, h2, p, sparse, key,
+            burn_in=burn_in, num_iter=num_iter, m=m)
+    dt = beta_hat.dtype
+    # k lives in device state: per-sweep host->device puts sync on the
+    # tunnel runtime (~0.5 s each measured) and would serialize the loop
+    state = (_dp0(bands), jnp.zeros(m, dt), jnp.zeros(m, dt),
+             jnp.asarray(False), jnp.asarray(0, jnp.int32))
+    burn_in_d = jnp.asarray(burn_in, jnp.int32)
+    for _ in range(burn_in + num_iter):
+        state = _one_sweep_prog(
+            bands, gidx, state, beta_hat, n_vec, h2, p, sparse, key,
+            burn_in_d, m=m)
+    _, _, avg, diverged, _ = state
+    return jnp.where(diverged, jnp.nan, avg / num_iter)
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _one_sweep_prog(bands, gidx, state, beta_hat, n_vec, h2, p, sparse,
+                    key, burn_in, m):
+    """One Gibbs sweep for the host-driven loop (k carried in device
+    state: one compile, no per-sweep host transfers). Divergence
+    freezing is mask-based instead of lax.cond — identical results
+    (post-divergence values are discarded as NaN anyway)."""
+    dp_pads, curr_beta, avg_beta, diverged, k = state
+    h2_per_var = h2 / (m * p)
+    inv_odd_p = (1 - p) / p
+    C1 = h2_per_var * n_vec
+    C2 = 1.0 / (1.0 + 1.0 / C1)
+    C4 = C2 / n_vec
+    s1 = jnp.sqrt(1 + C1)
+    gap0 = 2.0 * jnp.sum(beta_hat**2)
+
+    ku, kz = jax.random.split(jax.random.fold_in(key, k))
+    u = jax.random.uniform(ku, (m,), dtype=beta_hat.dtype)
+    z = jax.random.normal(kz, (m,), dtype=beta_hat.dtype)
+    dp2, nb, aux = _sweeps_bucketed(
+        bands, gidx, dp_pads, curr_beta, (beta_hat, C2, C4, s1), u, z,
+        inv_odd_p, p, sparse, 1.0, False, m, use_pallas=True)
+    gap, _, _, _, beta_inc, _ = aux
+    post = (k >= burn_in) & ~diverged
+    avg2 = avg_beta + jnp.where(post, beta_inc, 0.0)
+    return dp2, nb, avg2, diverged | (gap > gap0), k + 1
+
+
+@partial(jax.jit, static_argnames=("burn_in", "num_iter", "m"))
+def _gibbs_one_blocked_xla(bands, gidx, beta_hat, n_vec, h2, p, sparse, key,
+                           burn_in, num_iter, m, use_pallas=False):
     """Block-parallel ldpred2_gibbs_one. bands/gidx from
     BlockBands.device_put(); beta_hat/n_vec are (m,) in global order.
     Returns (m,) avg betas (NaN on divergence)."""
@@ -347,7 +512,8 @@ def gibbs_one_blocked(bands, gidx, beta_hat, n_vec, h2, p, sparse, key,
             z = jax.random.normal(kz, (m,), dtype=beta_hat.dtype)
             dp2, nb, aux = _sweeps_bucketed(
                 bands, gidx, dp_pads, curr_beta, consts, u, z,
-                inv_odd_p, p, sparse, 1.0, False, m)
+                inv_odd_p, p, sparse, 1.0, False, m,
+                use_pallas=use_pallas)
             gap, _, _, _, beta_inc, _ = aux
             post = k >= burn_in
             avg2 = avg_beta + jnp.where(post, beta_inc, 0.0)
@@ -362,15 +528,153 @@ def gibbs_one_blocked(bands, gidx, beta_hat, n_vec, h2, p, sparse, key,
     return jnp.where(diverged, jnp.nan, avg / num_iter)
 
 
-@partial(jax.jit,
-         static_argnames=("burn_in", "num_iter", "report_step", "m",
-                          "use_mle", "no_jump_sign"))
 def gibbs_auto_blocked(bands, gidx, beta_hat, n_vec, log_var, p_init, h2_init,
                        key, shrink_corr, p_bounds, alpha_bounds, mean_ld,
                        burn_in, num_iter, m,
-                       report_step=None, use_mle=True, no_jump_sign=False):
+                       report_step=None, use_mle=True, no_jump_sign=False,
+                       use_pallas=False):
     """Block-parallel ldpred2_gibbs_auto. Global (p, h2, MLE) updates are
-    cross-block reductions each sweep; all per-variant state is global."""
+    cross-block reductions each sweep; all per-variant state is global.
+
+    use_pallas: host-driven loop of async-chained per-sweep programs
+    (see gibbs_one_blocked)."""
+    if use_pallas:
+        return _gibbs_auto_blocked_hostloop(
+            bands, gidx, beta_hat, n_vec, log_var, p_init, h2_init, key,
+            shrink_corr, p_bounds, alpha_bounds, mean_ld, burn_in,
+            num_iter, m, report_step, use_mle, no_jump_sign)
+    return _gibbs_auto_blocked_xla(
+        bands, gidx, beta_hat, n_vec, log_var, p_init, h2_init, key,
+        shrink_corr, p_bounds, alpha_bounds, mean_ld,
+        burn_in=burn_in, num_iter=num_iter, m=m, report_step=report_step,
+        use_mle=use_mle, no_jump_sign=no_jump_sign)
+
+
+def _gibbs_auto_blocked_hostloop(bands, gidx, beta_hat, n_vec, log_var,
+                                 p_init, h2_init, key, shrink_corr, p_bounds,
+                                 alpha_bounds, mean_ld, burn_in, num_iter, m,
+                                 report_step, use_mle, no_jump_sign):
+    num_iter_tot = burn_in + num_iter
+    if report_step is None:
+        report_step = num_iter + 1
+    num_reports = num_iter // report_step if report_step <= num_iter else 0
+    dt = beta_hat.dtype
+    h2_0 = jnp.maximum(h2_init, MIN_H2)
+    p_0 = jnp.clip(p_init, p_bounds[0], p_bounds[1])
+    state = (
+        _dp0(bands), jnp.zeros(m, dt), p_0,
+        jnp.asarray(0.0, dt), jnp.asarray(0.0, dt), h2_0 / (m * p_0),
+        jnp.zeros(m, dt), jnp.zeros(m, dt), jnp.zeros(m, dt),
+        jnp.zeros((max(num_reports, 1), m), dt),
+        jnp.full((3, num_iter_tot), jnp.nan, dt), jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+    )
+    burn_in_d = jnp.asarray(burn_in, jnp.int32)
+    for _ in range(num_iter_tot):
+        state = _one_auto_sweep_prog(
+            bands, gidx, state, beta_hat, n_vec, log_var, key,
+            shrink_corr, p_bounds, alpha_bounds, mean_ld,
+            burn_in_d, m=m,
+            report_step=report_step, num_reports=num_reports,
+            use_mle=use_mle, no_jump_sign=no_jump_sign)
+    (_, _, _, _, _, _, avg_postp, avg_beta, avg_bhat, samples, paths,
+     diverged, _) = state
+    nan = jnp.where(diverged, jnp.nan, 0.0)
+    return {
+        "beta_est": avg_beta / num_iter + nan,
+        "postp_est": avg_postp / num_iter + nan,
+        "corr_est": avg_bhat / num_iter + nan,
+        "sample_beta": samples,
+        "path_p_est": paths[0], "path_h2_est": paths[1],
+        "path_alpha_est": paths[2],
+    }
+
+
+@partial(jax.jit, static_argnames=("m", "report_step", "num_reports",
+                                   "use_mle", "no_jump_sign"))
+def _one_auto_sweep_prog(bands, gidx, state, beta_hat, n_vec, log_var, key,
+                         shrink_corr, p_bounds, alpha_bounds, mean_ld,
+                         burn_in, m, report_step, num_reports,
+                         use_mle, no_jump_sign):
+    """One auto sweep for the host-driven loop (k carried in device
+    state). Divergence is mask-based (see _one_sweep_prog)."""
+    (dp_pads, curr_beta, p, cur_h2_est, par_alpha, par_sigma2,
+     avg_postp, avg_beta, avg_bhat, samples, paths, diverged, k) = state
+    dt = beta_hat.dtype
+    gap0 = 2.0 * jnp.sum(beta_hat**2)
+
+    inv_odd_p = (1 - p) / p
+    scale_freq = (jnp.exp(par_alpha * log_var) if use_mle
+                  else jnp.ones_like(log_var))
+    C1 = scale_freq * par_sigma2 * n_vec
+    C2 = 1.0 / (1.0 + 1.0 / C1)
+    C4 = C2 / n_vec
+    s1 = jnp.sqrt(1 + C1)
+
+    ku, kz, kp, kb = jax.random.split(jax.random.fold_in(key, k), 4)
+    u = jax.random.uniform(ku, (m,), dtype=dt)
+    z = jax.random.normal(kz, (m,), dtype=dt)
+    dp2, nb, aux = _sweeps_bucketed(
+        bands, gidx, dp_pads, curr_beta, (beta_hat, C2, C4, s1),
+        u, z, inv_odd_p, p, False, shrink_corr, no_jump_sign, m,
+        use_pallas=True)
+    gap, causal, h2_inc, postp_inc, beta_inc, dps = aux
+    ok = ~diverged                                # prior-sweep state
+    div2 = diverged | (gap > gap0)
+
+    post = (k >= burn_in) & ok
+    avg_postp2 = avg_postp + jnp.where(post, postp_inc, 0.0)
+    avg_beta2 = avg_beta + jnp.where(post, beta_inc, 0.0)
+    avg_bhat2 = avg_bhat + jnp.where(post, dps, 0.0)
+
+    nb_causal = jnp.sum(causal)
+    p2 = jax.random.beta(kp, 1 + nb_causal / mean_ld,
+                         1 + (m - nb_causal) / mean_ld, dtype=dt)
+    p2 = jnp.clip(p2, p_bounds[0], p_bounds[1])
+    p2 = jnp.where(ok, p2, p)
+    h2_est2 = jnp.where(ok, cur_h2_est + h2_inc, cur_h2_est)
+    h2 = jnp.maximum(h2_est2, MIN_H2)
+
+    if use_mle:
+        wts = jax.random.poisson(kb, 1.0, (m,)).astype(dt) * causal
+        pa, ps = _mle_alpha_profile(
+            par_alpha, par_sigma2, wts, log_var, nb * nb, alpha_bounds)
+        pa = jnp.where(ok, pa, par_alpha)
+        ps = jnp.where(ok, ps, par_sigma2)
+    else:
+        pa, ps = par_alpha, jnp.where(ok, h2 / (m * p2), par_sigma2)
+
+    paths2 = jax.lax.dynamic_update_slice(
+        paths, jnp.array([[p2], [h2], [pa - 1.0]], dtype=paths.dtype),
+        (0, k))
+    paths2 = jnp.where(div2, paths, paths2)
+
+    if num_reports > 0:
+        rep_idx = (k - burn_in + 1) // report_step - 1
+        do_rep = post & ((k - burn_in + 1) % report_step == 0) & ~div2
+        row = jnp.where(do_rep & causal, nb, 0.0)[None]
+        samples2 = jax.lax.cond(
+            do_rep,
+            lambda s: jax.lax.dynamic_update_slice(
+                s, row, (jnp.clip(rep_idx, 0, num_reports - 1), 0)),
+            lambda s: s, samples)
+    else:
+        samples2 = samples
+
+    # dp/curr_beta keep evolving post-divergence (results are NaN anyway)
+    return (dp2, nb, p2, h2_est2, pa, ps, avg_postp2, avg_beta2,
+            avg_bhat2, samples2, paths2, div2, k + 1)
+
+
+@partial(jax.jit,
+         static_argnames=("burn_in", "num_iter", "report_step", "m",
+                          "use_mle", "no_jump_sign", "use_pallas"))
+def _gibbs_auto_blocked_xla(bands, gidx, beta_hat, n_vec, log_var, p_init,
+                            h2_init, key, shrink_corr, p_bounds,
+                            alpha_bounds, mean_ld, burn_in, num_iter, m,
+                            report_step=None, use_mle=True,
+                            no_jump_sign=False, use_pallas=False):
+    """XLA fori_loop twin (CPU / f64 / sharded paths)."""
     gap0 = 2.0 * jnp.sum(beta_hat**2)
     num_iter_tot = burn_in + num_iter
     if report_step is None:
@@ -399,7 +703,8 @@ def gibbs_auto_blocked(bands, gidx, beta_hat, n_vec, log_var, p_init, h2_init,
             z = jax.random.normal(kz, (m,), dtype=dt)
             dp2, nb, aux = _sweeps_bucketed(
                 bands, gidx, dp_pads, curr_beta, (beta_hat, C2, C4, s1),
-                u, z, inv_odd_p, p, False, shrink_corr, no_jump_sign, m)
+                u, z, inv_odd_p, p, False, shrink_corr, no_jump_sign, m,
+                use_pallas=use_pallas)
             gap, causal, h2_inc, postp_inc, beta_inc, dps = aux
             div2 = gap > gap0
 
@@ -473,30 +778,35 @@ def lassosum_cd_blocked(bands, gidx, beta_hat, lam, delta_plus_one,
     gap0 = 2.0 * jnp.sum(beta_hat**2)
     dt = beta_hat.dtype
 
-    def sweep_bucket(dp_pad, cb, band, bh_b, lam_b, dp1_b, Wk):
-        mbk = band.shape[0]
+    def sweep_bucket(dp, cb, bands_t, bh_b, lam_b, dp1_b, Wk):
+        """Lockstep CD sweep, TPU-native layout (see _sweep_gibbs_batched)."""
+        mbk = bands_t.shape[0]
         ind = jnp.arange(mbk, dtype=jnp.int32)
 
         def step(carry, xs):
-            dp_pad, gap, df, maxshift = carry
+            dp, gap, df, maxshift = carry
             j2, bh_j, lam_j, dp1_j, band_row, cb_j = xs
             width = band_row.shape[0]
-            dp_slice = jax.lax.dynamic_slice(dp_pad, (j2,), (width,))
-            u_j = bh_j - (dp_slice[Wk] - cb_j)
+            j0 = (j2 // 8) * 8           # row j shifted by j%8
+            dp_slice = jax.lax.dynamic_slice(
+                dp, (j0, 0), (width, dp.shape[1]))
+            dprod = jax.lax.dynamic_slice(
+                dp, (j2 + Wk, 0), (1, dp.shape[1]))[0]
+            u_j = bh_j - (dprod - cb_j)
             nm = jnp.where(u_j > 0, u_j - lam_j, u_j + lam_j)
             new_beta = jnp.where(u_j * nm > 0, nm / dp1_j, 0.0)
             new_beta = jnp.where(jnp.abs(u_j) > lam_j, new_beta, 0.0)
             shift = new_beta - cb_j
-            dp_pad = jax.lax.dynamic_update_slice(
-                dp_pad, dp_slice + shift * band_row, (j2,))
-            gap = gap + jnp.where(new_beta != 0, new_beta**2, 0.0)
-            df = df + (new_beta != 0)
-            maxshift = jnp.maximum(maxshift, jnp.abs(shift))
-            return (dp_pad, gap, df, maxshift), new_beta
+            dp = jax.lax.dynamic_update_slice(
+                dp, dp_slice + shift[None, :] * band_row, (j0, 0))
+            gap = gap + jnp.sum(jnp.where(new_beta != 0, new_beta**2, 0.0))
+            df = df + jnp.sum((new_beta != 0).astype(jnp.int32))
+            maxshift = jnp.maximum(maxshift, jnp.max(jnp.abs(shift)))
+            return (dp, gap, df, maxshift), new_beta
 
-        xs = (ind, bh_b, lam_b, dp1_b, band, cb)
+        xs = (ind, bh_b, lam_b, dp1_b, bands_t, cb)
         (dp2, gap, df, ms), nb = jax.lax.scan(
-            step, (dp_pad, jnp.asarray(0.0, dt), 0, jnp.asarray(0.0, dt)),
+            step, (dp, jnp.asarray(0.0, dt), 0, jnp.asarray(0.0, dt)),
             xs)
         return dp2, nb, gap, df, ms
 
@@ -512,17 +822,16 @@ def lassosum_cd_blocked(bands, gidx, beta_hat, lam, delta_plus_one,
         maxshift = jnp.asarray(0.0, dt)
         dp2 = []
         for i, (bk, gk) in enumerate(zip(bands, gidx)):
-            Wk = (bk.shape[2] - 1) // 2
-            dpk, nbk, gapk, dfk, msk = jax.vmap(
-                lambda a, b, c, d, e, f: sweep_bucket(a, b, c, d, e, f, Wk)
-            )(dp_pads[i], _scatter_b(curr_beta, gk), bk,
-              _scatter_b(beta_hat, gk), _scatter_b(lam, gk, 1.0),
-              _scatter_b(delta_plus_one, gk, 1.0))
+            Wk = (bk.shape[1] - 8) // 2  # center offset CK
+            dpk, nbk, gapk, dfk, msk = sweep_bucket(
+                dp_pads[i], _scatter_b(curr_beta, gk), bk,
+                _scatter_b(beta_hat, gk), _scatter_b(lam, gk, 1.0),
+                _scatter_b(delta_plus_one, gk, 1.0), Wk)
             dp2.append(dpk)
             nb_g = _gather_set(nb_g, nbk, gk)
-            gap = gap + jnp.sum(gapk)
-            df = df + jnp.sum(dfk)
-            maxshift = jnp.maximum(maxshift, jnp.max(msk))
+            gap = gap + gapk
+            df = df + dfk
+            maxshift = jnp.maximum(maxshift, msk)
         div2 = gap > gap0
         done2 = (maxshift <= tol) | (df > dfmax) | div2
         return tuple(dp2), nb_g, k + 1, done2, div2

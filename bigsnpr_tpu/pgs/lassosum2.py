@@ -48,7 +48,7 @@ def _lassosum2_impl(corr, beta_hat, N, scale, delta, nlambda,
     else:
         from bigsnpr_tpu.pgs.ldpred2 import _blocked_setup
 
-        gb, bands, gidx, bb = _blocked_setup(corr, blocks, ind_corr, dt)
+        gb, bands, gidx, bb, _ = _blocked_setup(corr, blocks, ind_corr, dt)
         m = bb.m
         assert m == len(beta_hat)
 

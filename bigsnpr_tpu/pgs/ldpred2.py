@@ -68,11 +68,17 @@ def _blocked_setup(corr, blocks, ind_corr, dt, shard=False):
     block-diagonal, vignettes/LDpred2.Rmd)."""
     from bigsnpr_tpu.pgs import gibbs_blocked as gb
 
-    if isinstance(blocks, str):
-        assert blocks == "auto", f"unknown blocks mode {blocks!r}"
-        blocks = gb.auto_blocks(corr, ind_corr=ind_corr)
-    blocks_arr = np.asarray(blocks, dtype=np.int64)
-    bb = gb.build_block_bands(corr, blocks_arr, ind_corr=ind_corr, dtype=dt)
+    if isinstance(blocks, gb.BlockBands):
+        # prebuilt bands: repeated calls (grid searches, validation
+        # reruns) skip the build + device upload
+        bb = blocks
+    else:
+        if isinstance(blocks, str):
+            assert blocks == "auto", f"unknown blocks mode {blocks!r}"
+            blocks = gb.auto_blocks(corr, ind_corr=ind_corr)
+        blocks_arr = np.asarray(blocks, dtype=np.int64)
+        bb = gb.build_block_bands(corr, blocks_arr, ind_corr=ind_corr,
+                                  dtype=dt)
     if bb.dropped_r2_frac > 0.05:
         import warnings
 
@@ -83,7 +89,11 @@ def _blocked_setup(corr, blocks, ind_corr, dt, shard=False):
             f"(blocks='auto') or wider blocks.", RuntimeWarning,
             stacklevel=3)
     bands, gidx = bb.device_put(shard=shard)
-    return gb, bands, gidx, bb
+    # Pallas sweep kernel: TPU + f32 + unsharded (the XLA scan twin
+    # serves CPU / f64 / GSPMD-sharded runs)
+    use_pallas = (jax.default_backend() == "tpu"
+                  and np.dtype(dt) == np.float32 and not shard)
+    return gb, bands, gidx, bb, use_pallas
 
 
 def _prep_sampler(corr, beta_hat, N, ind_corr, dtype=np.float32):
@@ -154,7 +164,8 @@ def _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in, num_iter,
                   ind_corr, seed, blocks, dt=np.float32):
     """Block-parallel grid sampler (LD must be block-diagonal w.r.t.
     `blocks`, e.g. from snp_ldsplit): sequential depth = max block size."""
-    gb, bands, gidx, bb = _blocked_setup(corr, blocks, ind_corr, dt)
+    gb, bands, gidx, bb, use_pallas = _blocked_setup(corr, blocks,
+                                                     ind_corr, dt)
     m = bb.m
     assert m == len(beta_hat)
 
@@ -162,14 +173,18 @@ def _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in, num_iter,
     h2_grid = np.atleast_1d(np.asarray(grid_param["h2"], dtype=np.float64))
     sp_grid = np.atleast_1d(np.asarray(grid_param["sparse"], dtype=bool))
     keys = jax.random.split(jax.random.PRNGKey(seed), len(p_grid))
-    run = jax.vmap(
-        lambda h2, p, sprs, k: gb.gibbs_one_blocked(
+    # explicit loop over grid cells: cells serialize on one chip either
+    # way, and pallas_call must not be vmapped (program_id would rebind
+    # to the batch dim)
+    out = jnp.stack([
+        gb.gibbs_one_blocked(
             bands, gidx,
             jnp.asarray(beta_hat, dt), jnp.asarray(N, dt),
-            h2, p, sprs, k, burn_in=burn_in, num_iter=num_iter, m=m),
-        in_axes=(0, 0, 0, 0))
-    out = run(jnp.asarray(h2_grid, dt), jnp.asarray(p_grid, dt),
-              jnp.asarray(sp_grid), keys)
+            jnp.asarray(h2_grid[c], dt), jnp.asarray(p_grid[c], dt),
+            jnp.asarray(bool(sp_grid[c])), keys[c],
+            burn_in=burn_in, num_iter=num_iter, m=m,
+            use_pallas=use_pallas)
+        for c in range(len(p_grid))])
     return np.asarray(out).T * scale[:, None]
 
 
@@ -228,26 +243,33 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
     keys = jax.random.split(key, len(vec_p_init))
 
     if blocks is not None:
-        gb, bands, gidx, bb = _blocked_setup(corr, blocks, ind_corr, dt,
-                                             shard=shard_blocks)
+        gb, bands, gidx, bb, use_pallas = _blocked_setup(
+            corr, blocks, ind_corr, dt, shard=shard_blocks)
         m = bb.m
         assert m == len(beta_hat)
-        runb = jax.vmap(
-            lambda p0, k: gb.gibbs_auto_blocked(
+        # explicit loop over chains: chains serialize on one chip either
+        # way, and pallas_call must not be vmapped (program_id would
+        # rebind to the batch dim)
+        def run_chain(p0, k):
+            return gb.gibbs_auto_blocked(
                 bands, gidx,
                 jnp.asarray(beta_hat, dt),
                 jnp.asarray(N, dt),
                 jnp.asarray(log_var, dt),
-                p0, jnp.asarray(h2_init, dt), k,
+                jnp.asarray(p0, dt), jnp.asarray(h2_init, dt), k,
                 jnp.asarray(shrink_corr, dt),
                 jnp.asarray(p_bounds, dtype=dt),
                 jnp.asarray(np.asarray(alpha_bounds) + 1, dtype=dt),
                 jnp.asarray(mean_ld, dt),
                 burn_in=burn_in, num_iter=num_iter, m=m,
                 report_step=report_step, use_mle=use_MLE,
-                no_jump_sign=not allow_jump_sign),
-            in_axes=(0, 0))
-        outs = runb(jnp.asarray(vec_p_init, dtype=dt), keys)
+                no_jump_sign=not allow_jump_sign,
+                use_pallas=use_pallas)
+
+        chain_outs = [run_chain(vec_p_init[c], keys[c])
+                      for c in range(len(vec_p_init))]
+        outs = {k2: jnp.stack([co[k2] for co in chain_outs])
+                for k2 in chain_outs[0]}
         results = []
         for c in range(len(vec_p_init)):
             res = {k2: np.asarray(v[c], dtype=np.float64)
@@ -268,7 +290,8 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
                     jnp.asarray(res["h2_est"], dt),
                     jnp.asarray(res["p_est"], dt),
                     True, jax.random.fold_in(keys[c], 12345),
-                    burn_in=50, num_iter=100, m=m)
+                    burn_in=50, num_iter=100, m=m,
+                    use_pallas=use_pallas)
                 res["beta_est_sparse"] = np.asarray(bg, np.float64) / sd
             results.append(res)
         return results

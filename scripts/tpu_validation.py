@@ -103,22 +103,35 @@ def main(quick=False, sweep=False, parts=None):
 
     # 2. (TM, mxu) sweep (Pallas)
     if sweep and "sweep" in parts:
+        import functools
+
         op = ops["pallas"]
+
+        # one outer jit per config: standalone pallas_cprod programs let
+        # XLA pin the (2l, m) result in VMEM (scoped OOM at big m)
+        @functools.partial(jax.jit, static_argnames=("tm", "mxu"))
+        def sweep_step(Q, tm, mxu):
+            Qk = jnp.zeros((op.n_pad, l), jnp.float32).at[
+                op.row_pos].set(Q * 1e-3)
+            B = pk.pallas_cprod(op.packed, Qk.T, op.cs, tm=tm,
+                                mxu=mxu, tnb=op.tnb)
+            Y = pk.pallas_prod(op.packed, B, op.cs, tm=tm, mxu=mxu,
+                               tnb=op.tnb)
+            return Y[:l].T[op.row_pos]
+
         for mxu in ("int8", "split2", "highest"):
             for tm in (256, 512, 1024):
                 if op.packed.shape[0] % tm:
                     continue
-
-                def step(Q, tm=tm, mxu=mxu):
-                    Qk = jnp.zeros((op.n_pad, l), jnp.float32).at[
-                        op.row_pos].set(Q * 1e-3)
-                    B = pk.pallas_cprod(op.packed, Qk.T, op.cs, tm=tm,
-                                        mxu=mxu, tnb=op.tnb)
-                    Y = pk.pallas_prod(op.packed, B, op.cs, tm=tm, mxu=mxu,
-                                       tnb=op.tnb)
-                    return Y[:l].T[op.row_pos]
-
-                dt = timeit_chained(step, jnp.asarray(Q0), iters=5)
+                try:
+                    dt = timeit_chained(
+                        lambda Q, tm=tm, mxu=mxu: sweep_step(Q, tm=tm,
+                                                             mxu=mxu),
+                        jnp.asarray(Q0), iters=5)
+                except Exception as e:  # noqa: BLE001 — per-config report
+                    print(f"  TM={tm} {mxu} FAILED: "
+                          f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                    continue
                 print(f"  TM={tm} {mxu} tnb={op.tnb}: {dt*1e3:.1f} ms -> "
                       f"{2*m*n/dt/1e9:.0f} G visits/s", flush=True)
 
@@ -223,18 +236,25 @@ def _gibbs_section(quick, rng):
     print(f"Gibbs sequential: {dt_seq:.1f}s for 20x{mg} steps "
           f"({20*mg/dt_seq/1e3:.0f} steps/ms)")
 
+    from bigsnpr_tpu.pgs.gibbs_blocked import build_block_bands
+
     nb = mg // 2000
     blocks = np.full(nb, 2000)
     t0 = time.perf_counter()
-    snp_ldpred2_grid(corr, df, grid1, burn_in=10, num_iter=10, blocks=blocks)
-    dt_blk = time.perf_counter() - t0
-    print(f"Gibbs block-parallel ({nb} blocks): {dt_blk:.1f}s "
-          f"({dt_seq/dt_blk:.1f}x)")
+    bb = build_block_bands(corr, blocks)
+    bb.device_put()
+    dt_build = time.perf_counter() - t0
+    print(f"band build + device upload: {dt_build:.1f}s")
     t0 = time.perf_counter()
-    snp_ldpred2_grid(corr, df, grid1, burn_in=10, num_iter=10, blocks=blocks)
+    snp_ldpred2_grid(corr, df, grid1, burn_in=10, num_iter=10, blocks=bb)
+    dt_blk = time.perf_counter() - t0
+    print(f"Gibbs block-parallel ({nb} blocks, incl. compile): {dt_blk:.1f}s "
+          f"({dt_seq/dt_blk:.1f}x vs sequential)")
+    t0 = time.perf_counter()
+    snp_ldpred2_grid(corr, df, grid1, burn_in=10, num_iter=10, blocks=bb)
     dt_blk2 = time.perf_counter() - t0
-    print(f"Gibbs block-parallel warm (excl. band build + compile): "
-          f"{dt_blk2:.1f}s ({20*mg/dt_blk2/1e3:.0f} steps/ms)")
+    print(f"Gibbs block-parallel warm: "
+          f"{dt_blk2:.2f}s ({20*mg/dt_blk2/1e3:.0f} steps/ms)")
 
 
 def _cor_section(quick, pack, n):

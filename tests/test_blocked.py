@@ -208,3 +208,54 @@ def test_auto_sharded_blocks_matches_unsharded(blockdiag):
                                rtol=5e-4, atol=1e-8)
     np.testing.assert_allclose(r1["path_h2_est"], r0["path_h2_est"],
                                rtol=5e-4, atol=1e-7)
+
+
+def test_pallas_sweep_parity(blockdiag):
+    """The Pallas Gibbs sweep kernel (interpret mode) matches the XLA
+    scan twin bit-for-bit-ish on one full sampler run."""
+    corr, df_beta, sizes = blockdiag
+    from bigsnpr_tpu.pgs import gibbs_blocked as gb
+    from bigsnpr_tpu.pgs import gibbs_pallas as gp
+    import jax
+    import jax.numpy as jnp
+
+    bb = gb.build_block_bands(corr, sizes)
+    bands, gidx = bb.device_put()
+    m = bb.m
+    rng = np.random.default_rng(0)
+    bh = rng.normal(0, 0.05, m).astype(np.float32)
+    dp_pads = gb._dp0(bands)
+    cb = jnp.zeros(m, jnp.float32)
+    consts = tuple(jnp.asarray(a, jnp.float32) for a in (
+        bh, rng.uniform(0.1, 0.9, m), rng.uniform(0.1, 0.9, m),
+        rng.uniform(1.0, 2.0, m)))
+    u = jnp.asarray(rng.uniform(0, 1, m), jnp.float32)
+    z = jnp.asarray(rng.normal(0, 1, m), jnp.float32)
+
+    args = (bands, gidx, dp_pads, cb, consts, u, z,
+            jnp.float32(4.0), jnp.float32(0.2), jnp.asarray(False),
+            jnp.float32(0.9), False, m)
+    dp_x, nb_x, aux_x = gb._sweeps_bucketed(*args, use_pallas=False)
+
+    # interpret-mode pallas twin (patch the kernel entry to interpret)
+    import functools
+    orig = gp.sweep_bucket_pallas
+    gp.sweep_bucket_pallas = functools.partial(orig, interpret=True)
+    try:
+        dp_p, nb_p, aux_p = gb._sweeps_bucketed(*args, use_pallas=True)
+    finally:
+        gp.sweep_bucket_pallas = orig
+
+    np.testing.assert_allclose(np.asarray(nb_p), np.asarray(nb_x),
+                               rtol=1e-5, atol=1e-7)
+    for a, b in zip(dp_p, dp_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # aux: gap, causal, h2_inc, postp, beta, dps
+    np.testing.assert_allclose(float(aux_p[0]), float(aux_x[0]), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(aux_p[1]), np.asarray(aux_x[1]))
+    np.testing.assert_allclose(float(aux_p[2]), float(aux_x[2]),
+                               rtol=1e-4, atol=1e-6)
+    for i in (3, 4, 5):
+        np.testing.assert_allclose(np.asarray(aux_p[i]), np.asarray(aux_x[i]),
+                                   rtol=1e-5, atol=1e-7)
