@@ -332,14 +332,16 @@ def scale_run(m_scale=200_000, W=500, block=4096, sweeps=(100, 100)):
     print(f"band build: {time.perf_counter()-t0:.0f}s, "
           f"device bytes {bb.nbytes/1e9:.2f} GB "
           f"({len(bb.buckets)} buckets, "
-          f"dropped r2 {100*bb.dropped_r2_frac:.2f}%)")
-    del bb
+          f"dropped r2 {100*bb.dropped_r2_frac:.2f}%)", flush=True)
+    t0 = time.perf_counter()
+    bb.device_put()
+    print(f"device upload: {time.perf_counter()-t0:.0f}s", flush=True)
 
     burn_in, num_iter = sweeps
     t0 = time.perf_counter()
     res = snp_ldpred2_auto(corr, df, h2_init=0.3, vec_p_init=[0.1],
                            burn_in=burn_in, num_iter=num_iter,
-                           blocks=blocks)[0]
+                           blocks=bb)[0]
     dt = time.perf_counter() - t0
     tot = (burn_in + num_iter) * m_scale
     print(f"LDpred2-auto[{burn_in}+{num_iter} sweeps, m={m_scale}]: "
