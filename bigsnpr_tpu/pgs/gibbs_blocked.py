@@ -432,6 +432,125 @@ def _dp0(bands):
                            b.dtype) for b in bands)
 
 
+# ---------------------------------------------------------------------------
+# Chain-batched sweeps: NC auto chains / grid cells in one program
+# ---------------------------------------------------------------------------
+#
+# The reference's main parallelism is the process grid over chains /
+# grid models (R/LDpred2.R:100-114,233-236: 30 auto chains, 21 grid
+# cells via %dopar%). Here the chains share the LD band exactly — only
+# xin/dp/per-variant state differ — so a leading chain axis NC batches
+# them through the same band tiles: Pallas multi-chain kernel on TPU,
+# vmap over chains on the XLA twin. RNG streams per chain are identical
+# to the per-chain loop (same fold_in(keys[c], k) key chain), so the
+# batched samplers agree with the serial ones bit-for-bit.
+
+
+def _dp0_mc(bands, NC):
+    """Zero dp state per bucket, chain-batched: (NC, mbk + wk8, Bk)."""
+    return tuple(jnp.zeros((NC, b.shape[0] + b.shape[1], b.shape[2]),
+                           b.dtype) for b in bands)
+
+
+def _sweeps_bucketed_mc(bands, gidx, dp_pads, curr_beta, consts, u, z,
+                        inv_odd_p, p, sparse_vec, shrink_corr,
+                        no_jump_sign, m, use_pallas=False):
+    """One full Gibbs sweep over all buckets for NC chains at once.
+
+    curr_beta/u/z: (NC, m); consts = (bh (m,), C2, C4, s1 each (NC, m));
+    inv_odd_p/p: (NC,); sparse_vec: bool (NC,). Returns per-bucket dp2
+    (NC, L, Bk), nb (NC, m), and aux with per-chain reductions."""
+    bh, C2, C4, s1 = consts
+    NC = curr_beta.shape[0]
+    dt = bands[0].dtype
+    nb_g = jnp.zeros((NC, m), dt)
+    postp_g = jnp.zeros((NC, m), dt)
+    beta_g = jnp.zeros((NC, m), dt)
+    dps_g = jnp.zeros((NC, m), dt)
+    causal_g = jnp.zeros((NC, m), bool)
+    gap = jnp.zeros((NC,), dt)
+    h2_inc = jnp.zeros((NC,), dt)
+    scat = jax.vmap(_scatter_b, in_axes=(0, None))
+    scat1 = jax.vmap(lambda v, g: _scatter_b(v, g, 1.0), in_axes=(0, None))
+    scat2 = jax.vmap(lambda v, g: _scatter_b(v, g, 2.0), in_axes=(0, None))
+    gath = jax.vmap(_gather_set, in_axes=(0, 0, None))
+    dp2 = []
+    for k, (bk, gk) in enumerate(zip(bands, gidx)):
+        Wk = (bk.shape[1] - 8) // 2      # center offset CK (see device_put)
+        cbk = scat(curr_beta, gk)        # (NC, mbk, Bk)
+        plan = None
+        if use_pallas:
+            from bigsnpr_tpu.pgs import gibbs_pallas as gp
+
+            mbk, wk8, Bk = bk.shape
+            L = dp_pads[k].shape[1]
+            dtb = bk.dtype
+            plan = gp.plan_mc(mbk, wk8, Bk, L, NC,
+                              itemsize=jnp.dtype(dtb).itemsize)
+        if plan is not None:
+            ones = jnp.ones((NC, mbk, Bk), dtb)
+            c4b = scat1(C4, gk)
+            rows = [scat(jnp.broadcast_to(bh, (NC, m)), gk), scat(C2, gk),
+                    c4b, scat1(s1, gk), jnp.sqrt(c4b),
+                    scat2(u, gk), scat(z, gk), cbk,
+                    ones * inv_odd_p[:, None, None],
+                    ones * p[:, None, None],
+                    ones * jnp.asarray(shrink_corr, dtb),
+                    ones * sparse_vec.astype(dtb)[:, None, None]]
+            rows += [jnp.zeros((NC, mbk, Bk), dtb)] * (gp.NIN - len(rows))
+            # (NIN, NC, mbk, Bk) -> (mbk, NC, NIN, Bk)
+            xin = jnp.stack(rows, axis=0).transpose(2, 1, 0, 3)
+            LT, RG, NCT = plan
+            interp = jax.default_backend() != "tpu"
+            lane_parts = []
+            for lt0 in range(0, Bk, LT):
+                chain_parts = []
+                for c0 in range(0, NC, NCT):
+                    c1 = min(c0 + NCT, NC)
+                    ys_p, dp_p, h2_p, gap_p = gp.sweep_bucket_pallas_mc(
+                        jax.lax.slice(bk, (0, 0, lt0),
+                                      (mbk, wk8, lt0 + LT)),
+                        jax.lax.slice(xin, (0, c0, 0, lt0),
+                                      (mbk, c1, gp.NIN, lt0 + LT)),
+                        jax.lax.slice(dp_pads[k], (c0, 0, lt0),
+                                      (c1, L, lt0 + LT)),
+                        Wk, RG, bool(no_jump_sign), interpret=interp)
+                    chain_parts.append((ys_p, dp_p, h2_p, gap_p))
+                lane_parts.append(tuple(
+                    jnp.concatenate([cp[i] for cp in chain_parts],
+                                    axis=1 if i == 0 else 0)
+                    for i in range(4)))
+            ys = jnp.concatenate([lp[0] for lp in lane_parts], axis=3)
+            dpk = jnp.concatenate([lp[1] for lp in lane_parts], axis=2)
+            h2k = sum(jnp.sum(lp[2], axis=1) for lp in lane_parts)
+            gapk = sum(jnp.sum(lp[3], axis=1) for lp in lane_parts)
+            yst = ys.transpose(1, 0, 2, 3)       # (NC, mbk, NOUT, Bk)
+            nbk = yst[:, :, 0, :]
+            causalk = yst[:, :, 1, :] != 0
+            postpk = yst[:, :, 2, :]
+            betak = yst[:, :, 3, :]
+            dpsk = yst[:, :, 4, :]
+        else:
+            run = jax.vmap(
+                _sweep_gibbs_batched,
+                in_axes=(0, 0, None, None, 0, 0, 0, 0, 0, 0, None, None,
+                         0, 0, None))
+            dpk, nbk, aux = run(
+                dp_pads[k], cbk, bk, _scatter_b(bh, gk), scat(C2, gk),
+                scat1(C4, gk), scat1(s1, gk), inv_odd_p, p, sparse_vec,
+                shrink_corr, no_jump_sign, scat2(u, gk), scat(z, gk), Wk)
+            gapk, causalk, h2k, postpk, betak, dpsk = aux
+        dp2.append(dpk)
+        nb_g = gath(nb_g, nbk, gk)
+        postp_g = gath(postp_g, postpk, gk)
+        beta_g = gath(beta_g, betak, gk)
+        dps_g = gath(dps_g, dpsk, gk)
+        causal_g = gath(causal_g, causalk, gk)
+        gap = gap + gapk
+        h2_inc = h2_inc + h2k
+    return tuple(dp2), nb_g, (gap, causal_g, h2_inc, postp_g, beta_g, dps_g)
+
+
 def gibbs_one_blocked(bands, gidx, beta_hat, n_vec, h2, p, sparse, key,
                       burn_in, num_iter, m, use_pallas=False):
     """Block-parallel ldpred2_gibbs_one. bands/gidx from
@@ -526,6 +645,256 @@ def _gibbs_one_blocked_xla(bands, gidx, beta_hat, n_vec, h2, p, sparse, key,
     _, _, avg, diverged = jax.lax.fori_loop(0, burn_in + num_iter, body,
                                             state0)
     return jnp.where(diverged, jnp.nan, avg / num_iter)
+
+
+def _multi_sweep_body(bands, gidx, state, beta_hat, n_vec, h2, p, sparse_vec,
+                      keys, burn_in, m, use_pallas):
+    """One chain-batched grid-cell sweep: h2/p/sparse_vec are (NC,) —
+    each cell runs its own (h2, p, sparse) with its own key stream,
+    bit-identical to the per-cell gibbs_one_blocked loop."""
+    dp_pads, curr_beta, avg_beta, diverged, k = state
+    dt = beta_hat.dtype
+    h2_per_var = h2 / (m * p)                         # (NC,)
+    inv_odd_p = (1 - p) / p
+    C1 = h2_per_var[:, None] * n_vec[None, :]         # (NC, m)
+    C2 = 1.0 / (1.0 + 1.0 / C1)
+    C4 = C2 / n_vec[None, :]
+    s1 = jnp.sqrt(1 + C1)
+    gap0 = 2.0 * jnp.sum(beta_hat**2)
+
+    def draw(kc):
+        ku, kz = jax.random.split(jax.random.fold_in(kc, k))
+        return (jax.random.uniform(ku, (m,), dtype=dt),
+                jax.random.normal(kz, (m,), dtype=dt))
+
+    u, z = jax.vmap(draw)(keys)
+    dp2, nb, aux = _sweeps_bucketed_mc(
+        bands, gidx, dp_pads, curr_beta, (beta_hat, C2, C4, s1), u, z,
+        inv_odd_p, p, sparse_vec, 1.0, False, m, use_pallas=use_pallas)
+    gap, _, _, _, beta_inc, _ = aux
+    post = (k >= burn_in) & ~diverged                 # (NC,)
+    avg2 = avg_beta + jnp.where(post[:, None], beta_inc, 0.0)
+    return dp2, nb, avg2, diverged | (gap > gap0), k + 1
+
+
+@partial(jax.jit, static_argnames=("m", "use_pallas"))
+def _multi_sweep_prog(bands, gidx, state, beta_hat, n_vec, h2, p, sparse_vec,
+                      keys, burn_in, m, use_pallas):
+    return _multi_sweep_body(bands, gidx, state, beta_hat, n_vec, h2, p,
+                             sparse_vec, keys, burn_in, m, use_pallas)
+
+
+@partial(jax.jit, static_argnames=("burn_in", "num_iter", "m"))
+def _gibbs_multi_blocked_xla(bands, gidx, beta_hat, n_vec, h2, p, sparse_vec,
+                             keys, burn_in, num_iter, m):
+    NC = h2.shape[0]
+    dt = beta_hat.dtype
+    state0 = (_dp0_mc(bands, NC), jnp.zeros((NC, m), dt),
+              jnp.zeros((NC, m), dt), jnp.zeros((NC,), bool),
+              jnp.asarray(0, jnp.int32))
+
+    def body(_, state):
+        return _multi_sweep_body(bands, gidx, state, beta_hat, n_vec, h2, p,
+                                 sparse_vec, keys,
+                                 jnp.asarray(burn_in, jnp.int32), m,
+                                 use_pallas=False)
+
+    _, _, avg, diverged, _ = jax.lax.fori_loop(0, burn_in + num_iter, body,
+                                               state0)
+    return jnp.where(diverged[:, None], jnp.nan, avg / num_iter)
+
+
+def gibbs_multi_blocked(bands, gidx, beta_hat, n_vec, h2_vec, p_vec,
+                        sparse_vec, keys, burn_in, num_iter, m,
+                        use_pallas=False):
+    """Chain-batched gibbs_one_blocked over NC grid cells: h2_vec/p_vec
+    (NC,) float, sparse_vec (NC,) bool, keys (NC,) PRNG keys. Returns
+    (NC, m) avg betas (NaN rows on divergence). On TPU (use_pallas) the
+    cells run through one host-driven loop of Pallas multi-chain sweeps;
+    otherwise one XLA fori_loop with chains vmapped."""
+    if not use_pallas:
+        return _gibbs_multi_blocked_xla(
+            bands, gidx, beta_hat, n_vec, h2_vec, p_vec, sparse_vec, keys,
+            burn_in=burn_in, num_iter=num_iter, m=m)
+    NC = h2_vec.shape[0]
+    dt = beta_hat.dtype
+    state = (_dp0_mc(bands, NC), jnp.zeros((NC, m), dt),
+             jnp.zeros((NC, m), dt), jnp.zeros((NC,), bool),
+             jnp.asarray(0, jnp.int32))
+    burn_in_d = jnp.asarray(burn_in, jnp.int32)
+    for _ in range(burn_in + num_iter):
+        state = _multi_sweep_prog(bands, gidx, state, beta_hat, n_vec,
+                                  h2_vec, p_vec, sparse_vec, keys,
+                                  burn_in_d, m=m, use_pallas=True)
+    _, _, avg, diverged, _ = state
+    return jnp.where(diverged[:, None], jnp.nan, avg / num_iter)
+
+
+def _multi_auto_sweep_body(bands, gidx, state, beta_hat, n_vec, log_var,
+                           keys, shrink_corr, p_bounds, alpha_bounds,
+                           mean_ld, burn_in, m, report_step, num_reports,
+                           use_mle, no_jump_sign, use_pallas):
+    """One chain-batched auto sweep: all hyper-parameters are (NC,),
+    per-variant state (NC, m); beta/Poisson/MLE draws vmapped over the
+    per-chain key streams (bit-identical to the per-chain loop)."""
+    (dp_pads, curr_beta, p, cur_h2_est, par_alpha, par_sigma2,
+     avg_postp, avg_beta, avg_bhat, samples, paths, diverged, k) = state
+    dt = beta_hat.dtype
+    NC = curr_beta.shape[0]
+    gap0 = 2.0 * jnp.sum(beta_hat**2)
+
+    inv_odd_p = (1 - p) / p
+    scale_freq = (jnp.exp(par_alpha[:, None] * log_var[None, :]) if use_mle
+                  else jnp.ones((NC, m), dt))
+    C1 = scale_freq * par_sigma2[:, None] * n_vec[None, :]
+    C2 = 1.0 / (1.0 + 1.0 / C1)
+    C4 = C2 / n_vec[None, :]
+    s1 = jnp.sqrt(1 + C1)
+
+    def draw(kc):
+        ku, kz, kp, kb = jax.random.split(jax.random.fold_in(kc, k), 4)
+        return (jax.random.uniform(ku, (m,), dtype=dt),
+                jax.random.normal(kz, (m,), dtype=dt), kp, kb)
+
+    u, z, kps, kbs = jax.vmap(draw)(keys)
+    dp2, nb, aux = _sweeps_bucketed_mc(
+        bands, gidx, dp_pads, curr_beta, (beta_hat, C2, C4, s1), u, z,
+        inv_odd_p, p, jnp.zeros((NC,), bool), shrink_corr, no_jump_sign,
+        m, use_pallas=use_pallas)
+    gap, causal, h2_inc, postp_inc, beta_inc, dps = aux
+    ok = ~diverged                                    # prior-sweep state
+    div2 = diverged | (gap > gap0)
+
+    post = (k >= burn_in) & ok
+    pm = post[:, None]
+    avg_postp2 = avg_postp + jnp.where(pm, postp_inc, 0.0)
+    avg_beta2 = avg_beta + jnp.where(pm, beta_inc, 0.0)
+    avg_bhat2 = avg_bhat + jnp.where(pm, dps, 0.0)
+
+    nb_causal = jnp.sum(causal, axis=1)               # (NC,)
+    p2 = jax.vmap(lambda kc, a, b: jax.random.beta(kc, a, b, dtype=dt))(
+        kps, 1 + nb_causal / mean_ld, 1 + (m - nb_causal) / mean_ld)
+    p2 = jnp.clip(p2, p_bounds[0], p_bounds[1])
+    p2 = jnp.where(ok, p2, p)
+    h2_est2 = jnp.where(ok, cur_h2_est + h2_inc, cur_h2_est)
+    h2 = jnp.maximum(h2_est2, MIN_H2)
+
+    if use_mle:
+        def mle(kb, ca, beta2, pa0, ps0):
+            wts = jax.random.poisson(kb, 1.0, (m,)).astype(dt) * ca
+            return _mle_alpha_profile(pa0, ps0, wts, log_var, beta2,
+                                      alpha_bounds)
+
+        pa, ps = jax.vmap(mle)(kbs, causal.astype(dt), nb * nb,
+                               par_alpha, par_sigma2)
+        pa = jnp.where(ok, pa, par_alpha)
+        ps = jnp.where(ok, ps, par_sigma2)
+    else:
+        pa = par_alpha
+        ps = jnp.where(ok, h2 / (m * p2), par_sigma2)
+
+    vals = jnp.stack([p2, h2, pa - 1.0], axis=1)[:, :, None]  # (NC, 3, 1)
+    paths2 = jax.lax.dynamic_update_slice(
+        paths, vals.astype(paths.dtype), (0, 0, k))
+    paths2 = jnp.where(div2[:, None, None], paths, paths2)
+
+    if num_reports > 0:
+        rep_idx = (k - burn_in + 1) // report_step - 1
+        do_rep = (k >= burn_in) & ((k - burn_in + 1) % report_step == 0)
+        row = jnp.where(causal & ~div2[:, None], nb, 0.0)[:, None, :]
+        samples2 = jax.lax.cond(
+            do_rep,
+            lambda s: jnp.where(
+                div2[:, None, None], s,
+                jax.lax.dynamic_update_slice(
+                    s, row, (0, jnp.clip(rep_idx, 0, num_reports - 1), 0))),
+            lambda s: s, samples)
+    else:
+        samples2 = samples
+
+    return (dp2, nb, p2, h2_est2, pa, ps, avg_postp2, avg_beta2,
+            avg_bhat2, samples2, paths2, div2, k + 1)
+
+
+@partial(jax.jit, static_argnames=("m", "report_step", "num_reports",
+                                   "use_mle", "no_jump_sign", "use_pallas"))
+def _multi_auto_sweep_prog(bands, gidx, state, beta_hat, n_vec, log_var,
+                           keys, shrink_corr, p_bounds, alpha_bounds,
+                           mean_ld, burn_in, m, report_step, num_reports,
+                           use_mle, no_jump_sign, use_pallas):
+    return _multi_auto_sweep_body(
+        bands, gidx, state, beta_hat, n_vec, log_var, keys, shrink_corr,
+        p_bounds, alpha_bounds, mean_ld, burn_in, m, report_step,
+        num_reports, use_mle, no_jump_sign, use_pallas)
+
+
+def gibbs_auto_blocked_multi(bands, gidx, beta_hat, n_vec, log_var, p_inits,
+                             h2_init, keys, shrink_corr, p_bounds,
+                             alpha_bounds, mean_ld, burn_in, num_iter, m,
+                             report_step=None, use_mle=True,
+                             no_jump_sign=False, use_pallas=False):
+    """Chain-batched ldpred2_gibbs_auto: p_inits (NC,), keys (NC,) PRNG
+    keys. All NC chains advance through one program per sweep (the
+    reference's 30-process chain grid, R/LDpred2.R:233-236, collapsed
+    onto one chip). Returns a dict of (NC, ...) arrays."""
+    NC = p_inits.shape[0]
+    num_iter_tot = burn_in + num_iter
+    if report_step is None:
+        report_step = num_iter + 1
+    num_reports = num_iter // report_step if report_step <= num_iter else 0
+    dt = beta_hat.dtype
+    h2_0 = jnp.maximum(jnp.asarray(h2_init, dt), MIN_H2)
+    p_0 = jnp.clip(jnp.asarray(p_inits, dt), p_bounds[0], p_bounds[1])
+    state = (
+        _dp0_mc(bands, NC), jnp.zeros((NC, m), dt), p_0,
+        jnp.zeros((NC,), dt), jnp.zeros((NC,), dt), h2_0 / (m * p_0),
+        jnp.zeros((NC, m), dt), jnp.zeros((NC, m), dt),
+        jnp.zeros((NC, m), dt),
+        jnp.zeros((NC, max(num_reports, 1), m), dt),
+        jnp.full((NC, 3, num_iter_tot), jnp.nan, dt),
+        jnp.zeros((NC,), bool), jnp.asarray(0, jnp.int32),
+    )
+    burn_in_d = jnp.asarray(burn_in, jnp.int32)
+    args = (beta_hat, n_vec, log_var, keys, shrink_corr, p_bounds,
+            alpha_bounds, mean_ld)
+    kw = dict(m=m, report_step=report_step, num_reports=num_reports,
+              use_mle=use_mle, no_jump_sign=no_jump_sign)
+    if use_pallas:
+        for _ in range(num_iter_tot):
+            state = _multi_auto_sweep_prog(bands, gidx, state, *args,
+                                           burn_in_d, use_pallas=True, **kw)
+    else:
+        state = _gibbs_auto_blocked_xla_mc(
+            bands, gidx, state, *args, burn_in_d,
+            num_iter_tot=num_iter_tot, **kw)
+    (_, _, _, _, _, _, avg_postp, avg_beta, avg_bhat, samples, paths,
+     diverged, _) = state
+    nan = jnp.where(diverged[:, None], jnp.nan, 0.0)
+    return {
+        "beta_est": avg_beta / num_iter + nan,
+        "postp_est": avg_postp / num_iter + nan,
+        "corr_est": avg_bhat / num_iter + nan,
+        "sample_beta": samples,
+        "path_p_est": paths[:, 0], "path_h2_est": paths[:, 1],
+        "path_alpha_est": paths[:, 2],
+    }
+
+
+@partial(jax.jit, static_argnames=("m", "report_step", "num_reports",
+                                   "use_mle", "no_jump_sign",
+                                   "num_iter_tot"))
+def _gibbs_auto_blocked_xla_mc(bands, gidx, state, beta_hat, n_vec, log_var,
+                               keys, shrink_corr, p_bounds, alpha_bounds,
+                               mean_ld, burn_in, num_iter_tot, m,
+                               report_step, num_reports, use_mle,
+                               no_jump_sign):
+    def body(_, st):
+        return _multi_auto_sweep_body(
+            bands, gidx, st, beta_hat, n_vec, log_var, keys, shrink_corr,
+            p_bounds, alpha_bounds, mean_ld, burn_in, m, report_step,
+            num_reports, use_mle, no_jump_sign, use_pallas=False)
+
+    return jax.lax.fori_loop(0, num_iter_tot, body, state)
 
 
 def gibbs_auto_blocked(bands, gidx, beta_hat, n_vec, log_var, p_init, h2_init,

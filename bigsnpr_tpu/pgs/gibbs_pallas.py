@@ -151,3 +151,168 @@ def build_xin(bh, C2, C4, s1, u, z, cb, inv_odd_p, p, shrink_corr,
             ones * jnp.asarray(sparse, dt)]
     rows += [jnp.zeros((mbk, Bk), dt)] * (NIN - len(rows))
     return jnp.stack(rows, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chain kernel: chains/grid-cells batched into one sweep
+# ---------------------------------------------------------------------------
+#
+# The reference runs 30 auto chains / 21 grid models as concurrent
+# processes (R/LDpred2.R:100-114,233-236) — that process-grid is its
+# main parallelism. Here the chains share the band tiles exactly (only
+# xin, dp, and per-variant state differ), so a leading chain axis NC
+# rides along for near-free throughput: each grid step DMAs one band
+# row-group once and applies it to every chain. Additionally RG rows
+# are processed per grid step (sequentially in-kernel, preserving the
+# exact sweep order), amortizing the ~us-class per-grid-step overhead
+# that bounds the single-row kernel.
+
+
+def _sweep_kernel_mc(band_ref, xin_ref, dp_in_ref, ys_ref, dp_out_ref,
+                     acc_ref, dp_ref, sem_in, sem_out, W: int, RG: int,
+                     no_jump_sign: bool):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        cp = pltpu.make_async_copy(dp_in_ref, dp_ref, sem_in)
+        cp.start()
+        cp.wait()
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    band = band_ref[...]          # (RG, wk8, LT) — rows pre-shifted by j%8
+    x = xin_ref[...]              # (RG, NC, NIN, LT)
+    wk8 = band.shape[1]
+    base = t * RG                 # multiple of 8 (RG is a multiple of 8)
+
+    for r in range(RG):
+        off = pl.multiple_of(base + (r // 8) * 8, 8)
+        xr = x[r]                 # (NC, NIN, LT)
+        bh_j, c2, c4, s1c1, sc4, u_j, z_j, cb_j = [xr[:, i] for i in range(8)]
+        inv_odd_p = xr[:, 8]
+        p = xr[:, 9]
+        shrink = xr[:, 10]
+        spf = xr[:, 11]
+
+        # center row dp[j + W]: read the aligned 8-row slab containing it
+        # and reduce with a STATIC one-hot (row index W + r%8 is static
+        # within the unrolled r-loop — no dynamic sublane extraction)
+        cw = W + (r % 8)
+        cbase = pl.multiple_of(base + (r // 8) * 8 + (cw // 8) * 8, 8)
+        slab = dp_ref[:, pl.ds(cbase, 8), :]           # (NC, 8, LT)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+        dotprod = jnp.sum(jnp.where(rows == cw % 8, slab, 0.0), axis=1)
+
+        res = bh_j - shrink * (dotprod - cb_j)
+        C3 = c2 * res
+        postp = 1.0 / (1.0 + inv_odd_p * s1c1 * jnp.exp(-C3 * C3 / c4 * 0.5))
+        samp = C3 + z_j * sc4
+        accept = postp > u_j
+        sparse_skip = (postp < p) & (spf > 0)
+        if no_jump_sign:
+            sampled = accept & ~sparse_skip & ~(samp * cb_j < 0)
+        else:
+            sampled = accept & ~sparse_skip
+        new_beta = jnp.where(sampled, samp, 0.0)
+
+        dps = shrink * dotprod + (1 - shrink) * cb_j
+        diff = new_beta - cb_j
+        dsl = dp_ref[:, pl.ds(off, wk8), :]            # (NC, wk8, LT)
+        dp_ref[:, pl.ds(off, wk8), :] = dsl + diff[:, None, :] * band[r][None]
+
+        acc_ref[:, pl.ds(0, 1), :] += (diff * (2 * dps + diff))[:, None, :]
+        acc_ref[:, pl.ds(1, 1), :] += \
+            jnp.where(sampled, samp * samp, 0.0)[:, None, :]
+
+        fz = jnp.zeros_like(new_beta)
+        outs = [new_beta, sampled.astype(new_beta.dtype),
+                jnp.where(sparse_skip, fz, postp),
+                jnp.where(sparse_skip, fz, C3 * postp), dps]
+        for i, v in enumerate(outs):
+            ys_ref[pl.ds(r, 1), :, pl.ds(i, 1), :] = v[None, :, None, :]
+
+    @pl.when(t == nt - 1)
+    def _():
+        cp = pltpu.make_async_copy(dp_ref, dp_out_ref, sem_out)
+        cp.start()
+        cp.wait()
+
+
+@partial(jax.jit, static_argnames=("W", "RG", "no_jump_sign", "interpret"))
+def sweep_bucket_pallas_mc(bands_t, xin, dp, W, RG, no_jump_sign,
+                           interpret=False):
+    """One lockstep Gibbs sweep over a bucket for NC chains at once.
+
+    bands_t (mbk, wk8, LT) f32 (shared across chains); xin
+    (mbk, NC, NIN, LT); dp (NC, L, LT). Returns
+    (ys (mbk, NC, NOUT, LT), dp2, h2_inc (NC, LT), gap (NC, LT)) — the
+    caller sums the per-lane accumulators."""
+    mbk, wk8, LT = bands_t.shape
+    NC = xin.shape[1]
+    L = dp.shape[1]
+    assert mbk % RG == 0 and RG % 8 == 0
+    kern = partial(_sweep_kernel_mc, W=W, RG=RG, no_jump_sign=no_jump_sign)
+    ys, dp2, acc = pl.pallas_call(
+        kern,
+        grid=(mbk // RG,),
+        in_specs=[
+            pl.BlockSpec((RG, wk8, LT), lambda t: (t, 0, 0)),
+            pl.BlockSpec((RG, NC, NIN, LT), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((RG, NC, NOUT, LT), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((NC, 8, LT), lambda t: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mbk, NC, NOUT, LT), dp.dtype),
+            jax.ShapeDtypeStruct((NC, L, LT), dp.dtype),
+            jax.ShapeDtypeStruct((NC, 8, LT), dp.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((NC, L, LT), dp.dtype),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(bands_t, xin, dp)
+    return ys, dp2, acc[:, 0, :], acc[:, 1, :]
+
+
+def plan_mc(mbk, wk8, Bk, L, NC, itemsize=4, budget=12 * 2**20):
+    """Choose (LT lane-tile, RG rows/step, NCT chains/call) for the
+    multi-chain kernel under the scoped-VMEM budget (round-3 verdict:
+    clamp before compile, never discover limits by compile-OOM).
+
+    Buffer estimates use the PHYSICAL (Mosaic-padded) sizes: the minor
+    (lane) dim is padded to 128, so a Bk=8 bucket costs 16x its logical
+    bytes (measured: an unpadded estimate compile-OOM'd at 18.5M/16M on
+    a Bk=8 bucket). Primary objective: fewest chain passes (each pass
+    re-reads the whole band from HBM); secondary: fewest grid steps
+    (per-step overhead)."""
+    best = None
+    lts = [Bk] if Bk <= 128 else [lt for lt in (128, 64, 32) if Bk % lt == 0]
+    for LT in lts:
+        ltp = -(-LT // 128) * 128        # physical lanes (Mosaic padding)
+        for RG in (32, 16, 8):
+            if mbk % RG:
+                continue
+            band_buf = 2 * RG * wk8 * ltp * itemsize
+            if band_buf > budget:
+                continue
+            per_chain = (L * ltp + 2 * RG * (NIN + NOUT) * ltp
+                         + 8 * ltp) * itemsize
+            nct = min(NC, (budget - band_buf) // per_chain)
+            if nct < 1:
+                continue
+            passes = -(-NC // nct)
+            steps = passes * (Bk // LT) * (mbk // RG)
+            score = (passes, steps)
+            if best is None or score < best[0]:
+                best = (score, (LT, RG, int(nct)))
+    if best is None:
+        # even one chain at the smallest tile exceeds VMEM (giant
+        # monolithic bucket): signal the caller to use the XLA twin
+        # for this bucket instead of compile-OOMing
+        return None
+    return best[1]

@@ -173,18 +173,17 @@ def _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in, num_iter,
     h2_grid = np.atleast_1d(np.asarray(grid_param["h2"], dtype=np.float64))
     sp_grid = np.atleast_1d(np.asarray(grid_param["sparse"], dtype=bool))
     keys = jax.random.split(jax.random.PRNGKey(seed), len(p_grid))
-    # explicit loop over grid cells: cells serialize on one chip either
-    # way, and pallas_call must not be vmapped (program_id would rebind
-    # to the batch dim)
-    out = jnp.stack([
-        gb.gibbs_one_blocked(
-            bands, gidx,
-            jnp.asarray(beta_hat, dt), jnp.asarray(N, dt),
-            jnp.asarray(h2_grid[c], dt), jnp.asarray(p_grid[c], dt),
-            jnp.asarray(bool(sp_grid[c])), keys[c],
-            burn_in=burn_in, num_iter=num_iter, m=m,
-            use_pallas=use_pallas)
-        for c in range(len(p_grid))])
+    # all grid cells advance together through one chain-batched sweep
+    # program (the reference's %dopar% process grid over 21 models,
+    # R/LDpred2.R:100-114, collapsed onto one chip: cells share the band
+    # tiles, so batching them into the kernel's chain axis is near-free)
+    out = gb.gibbs_multi_blocked(
+        bands, gidx,
+        jnp.asarray(beta_hat, dt), jnp.asarray(N, dt),
+        jnp.asarray(h2_grid, dt), jnp.asarray(p_grid, dt),
+        jnp.asarray(sp_grid), keys,
+        burn_in=burn_in, num_iter=num_iter, m=m,
+        use_pallas=use_pallas)
     return np.asarray(out).T * scale[:, None]
 
 
@@ -247,29 +246,23 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
             corr, blocks, ind_corr, dt, shard=shard_blocks)
         m = bb.m
         assert m == len(beta_hat)
-        # explicit loop over chains: chains serialize on one chip either
-        # way, and pallas_call must not be vmapped (program_id would
-        # rebind to the batch dim)
-        def run_chain(p0, k):
-            return gb.gibbs_auto_blocked(
-                bands, gidx,
-                jnp.asarray(beta_hat, dt),
-                jnp.asarray(N, dt),
-                jnp.asarray(log_var, dt),
-                jnp.asarray(p0, dt), jnp.asarray(h2_init, dt), k,
-                jnp.asarray(shrink_corr, dt),
-                jnp.asarray(p_bounds, dtype=dt),
-                jnp.asarray(np.asarray(alpha_bounds) + 1, dtype=dt),
-                jnp.asarray(mean_ld, dt),
-                burn_in=burn_in, num_iter=num_iter, m=m,
-                report_step=report_step, use_mle=use_MLE,
-                no_jump_sign=not allow_jump_sign,
-                use_pallas=use_pallas)
-
-        chain_outs = [run_chain(vec_p_init[c], keys[c])
-                      for c in range(len(vec_p_init))]
-        outs = {k2: jnp.stack([co[k2] for co in chain_outs])
-                for k2 in chain_outs[0]}
+        # all chains advance together through one chain-batched sweep
+        # program (the reference's 30-process chain grid,
+        # R/LDpred2.R:233-236: chains share the band tiles, so batching
+        # them into the kernel's chain axis is near-free throughput)
+        outs = gb.gibbs_auto_blocked_multi(
+            bands, gidx,
+            jnp.asarray(beta_hat, dt), jnp.asarray(N, dt),
+            jnp.asarray(log_var, dt),
+            jnp.asarray(vec_p_init, dt), jnp.asarray(h2_init, dt), keys,
+            jnp.asarray(shrink_corr, dt),
+            jnp.asarray(p_bounds, dtype=dt),
+            jnp.asarray(np.asarray(alpha_bounds) + 1, dtype=dt),
+            jnp.asarray(mean_ld, dt),
+            burn_in=burn_in, num_iter=num_iter, m=m,
+            report_step=report_step, use_mle=use_MLE,
+            no_jump_sign=not allow_jump_sign,
+            use_pallas=use_pallas)
         results = []
         for c in range(len(vec_p_init)):
             res = {k2: np.asarray(v[c], dtype=np.float64)
@@ -281,19 +274,27 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
             res["h2_init"] = h2_init
             res["p_init"] = float(vec_p_init[c])
             res["dropped_r2_frac"] = bb.dropped_r2_frac
-            if sparse and np.isfinite(res["h2_est"]):
-                # post-hoc sparse solution, same contract as the unblocked
-                # branch (reference R/LDpred2.R:266-279)
-                bg = gb.gibbs_one_blocked(
+            results.append(res)
+        if sparse:
+            # post-hoc sparse solutions, same contract as the unblocked
+            # branch (reference R/LDpred2.R:266-279) — batched over the
+            # chains whose h2 estimate is finite
+            live = [c for c in range(len(results))
+                    if np.isfinite(results[c]["h2_est"])]
+            if live:
+                bg = gb.gibbs_multi_blocked(
                     bands, gidx,
                     jnp.asarray(beta_hat, dt), jnp.asarray(N, dt),
-                    jnp.asarray(res["h2_est"], dt),
-                    jnp.asarray(res["p_est"], dt),
-                    True, jax.random.fold_in(keys[c], 12345),
+                    jnp.asarray([results[c]["h2_est"] for c in live], dt),
+                    jnp.asarray([results[c]["p_est"] for c in live], dt),
+                    jnp.ones(len(live), bool),
+                    jnp.stack([jax.random.fold_in(keys[c], 12345)
+                               for c in live]),
                     burn_in=50, num_iter=100, m=m,
                     use_pallas=use_pallas)
-                res["beta_est_sparse"] = np.asarray(bg, np.float64) / sd
-            results.append(res)
+                for i, c in enumerate(live):
+                    results[c]["beta_est_sparse"] = \
+                        np.asarray(bg[i], np.float64) / sd
         return results
 
     run = jax.vmap(
