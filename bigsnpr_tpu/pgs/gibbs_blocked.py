@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bigsnpr_tpu.pgs.gibbs import _mle_alpha_profile, MIN_H2
+from bigsnpr_tpu.pgs.gibbs import (_beta_draw, _mle_alpha_profile,
+                                   _poisson1, MIN_H2)
 from bigsnpr_tpu.pgs.band import build_band
 
 
@@ -548,6 +549,12 @@ def _sweeps_bucketed_mc(bands, gidx, dp_pads, curr_beta, consts, u, z,
         causal_g = gath(causal_g, causalk, gk)
         gap = gap + gapk
         h2_inc = h2_inc + h2k
+    # barrier: returning the raw scatter results from the per-sweep jit
+    # triggers a pathological XLA rewrite on the tunnel runtime (measured
+    # 925 ms vs 14 ms per NC=1 sweep, round-4); the barrier pins them as
+    # ordinary materialized outputs
+    nb_g, postp_g, beta_g, dps_g, causal_g = jax.lax.optimization_barrier(
+        (nb_g, postp_g, beta_g, dps_g, causal_g))
     return tuple(dp2), nb_g, (gap, causal_g, h2_inc, postp_g, beta_g, dps_g)
 
 
@@ -772,7 +779,7 @@ def _multi_auto_sweep_body(bands, gidx, state, beta_hat, n_vec, log_var,
     avg_bhat2 = avg_bhat + jnp.where(pm, dps, 0.0)
 
     nb_causal = jnp.sum(causal, axis=1)               # (NC,)
-    p2 = jax.vmap(lambda kc, a, b: jax.random.beta(kc, a, b, dtype=dt))(
+    p2 = jax.vmap(lambda kc, a, b: _beta_draw(kc, a, b, dtype=dt))(
         kps, 1 + nb_causal / mean_ld, 1 + (m - nb_causal) / mean_ld)
     p2 = jnp.clip(p2, p_bounds[0], p_bounds[1])
     p2 = jnp.where(ok, p2, p)
@@ -781,12 +788,16 @@ def _multi_auto_sweep_body(bands, gidx, state, beta_hat, n_vec, log_var,
 
     if use_mle:
         def mle(kb, ca, beta2, pa0, ps0):
-            wts = jax.random.poisson(kb, 1.0, (m,)).astype(dt) * ca
+            wts = _poisson1(kb, (m,), dt) * ca
             return _mle_alpha_profile(pa0, ps0, wts, log_var, beta2,
                                       alpha_bounds)
 
         pa, ps = jax.vmap(mle)(kbs, causal.astype(dt), nb * nb,
                                par_alpha, par_sigma2)
+        # barrier: without it XLA fuses the O(m)-reduction MLE into its
+        # scalar consumers (paths update) and recomputes it per element
+        # (measured 1,615 -> 18 ms/sweep on chip, round-4)
+        pa, ps = jax.lax.optimization_barrier((pa, ps))
         pa = jnp.where(ok, pa, par_alpha)
         ps = jnp.where(ok, ps, par_sigma2)
     else:
@@ -997,17 +1008,18 @@ def _one_auto_sweep_prog(bands, gidx, state, beta_hat, n_vec, log_var, key,
     avg_bhat2 = avg_bhat + jnp.where(post, dps, 0.0)
 
     nb_causal = jnp.sum(causal)
-    p2 = jax.random.beta(kp, 1 + nb_causal / mean_ld,
-                         1 + (m - nb_causal) / mean_ld, dtype=dt)
+    p2 = _beta_draw(kp, 1 + nb_causal / mean_ld,
+                    1 + (m - nb_causal) / mean_ld, dtype=dt)
     p2 = jnp.clip(p2, p_bounds[0], p_bounds[1])
     p2 = jnp.where(ok, p2, p)
     h2_est2 = jnp.where(ok, cur_h2_est + h2_inc, cur_h2_est)
     h2 = jnp.maximum(h2_est2, MIN_H2)
 
     if use_mle:
-        wts = jax.random.poisson(kb, 1.0, (m,)).astype(dt) * causal
+        wts = _poisson1(kb, (m,), dt) * causal
         pa, ps = _mle_alpha_profile(
             par_alpha, par_sigma2, wts, log_var, nb * nb, alpha_bounds)
+        pa, ps = jax.lax.optimization_barrier((pa, ps))  # see multi body
         pa = jnp.where(ok, pa, par_alpha)
         ps = jnp.where(ok, ps, par_sigma2)
     else:
@@ -1083,14 +1095,14 @@ def _gibbs_auto_blocked_xla(bands, gidx, beta_hat, n_vec, log_var, p_init,
             avg_bhat2 = avg_bhat + jnp.where(post, dps, 0.0)
 
             nb_causal = jnp.sum(causal)
-            p2 = jax.random.beta(kp, 1 + nb_causal / mean_ld,
-                                 1 + (m - nb_causal) / mean_ld, dtype=dt)
+            p2 = _beta_draw(kp, 1 + nb_causal / mean_ld,
+                            1 + (m - nb_causal) / mean_ld, dtype=dt)
             p2 = jnp.clip(p2, p_bounds[0], p_bounds[1])
             h2_est2 = cur_h2_est + h2_inc
             h2 = jnp.maximum(h2_est2, MIN_H2)
 
             if use_mle:
-                wts = jax.random.poisson(kb, 1.0, (m,)).astype(dt) * causal
+                wts = _poisson1(kb, (m,), dt) * causal
                 pa, ps = _mle_alpha_profile(
                     par_alpha, par_sigma2, wts, log_var, nb * nb,
                     alpha_bounds)
