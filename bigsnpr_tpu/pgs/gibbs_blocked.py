@@ -147,6 +147,48 @@ class BlockBands:
                 axis=1)
         return jnp.asarray(g)
 
+    def device_put_mc(self):
+        """v3 device layout for the width-paneled sliding-window kernel:
+        width padded to a multiple of the panel size WP with the center
+        column at ck = wk8 // 2 (a multiple of 8), rows pre-shifted by
+        j % 8 as in device_put. Returns (bands, band_centers, gidx,
+        meta) with meta[k] = (ck, WP); band_centers[k] is the 8-column
+        center strip bands[k][:, ck:ck+8, :] (the only columns with
+        intra-group sequential dependencies). Cached."""
+        if "v3" in self._dev_cache:
+            return self._dev_cache["v3"]
+        from bigsnpr_tpu.pgs import gibbs_pallas as gp
+
+        bands, centers, gidxs, meta = [], [], [], []
+        for b, g in self.buckets:
+            Bk0, mbk, wk = b.shape
+            Wb = (wk - 1) // 2
+            # v3's sliding-window DMAs slice rows of (NC, L, Bk) refs —
+            # Mosaic requires the (full) lane extent of a sliced DMA to
+            # be a multiple of 128. Pad wide buckets to 128-lane
+            # multiples; tiny buckets keep the cheap padding and run
+            # through the v2 kernel (full-dp scratch, whole-ref DMAs)
+            if Bk0 > 32:
+                BkP = -(-Bk0 // 128) * 128
+            else:
+                BkP = 8 if Bk0 <= 8 else -(-Bk0 // 64) * 64
+            wk8, WP = gp.v3_width(Wb)
+            ck = wk8 // 2
+            band8 = np.zeros((mbk, wk8, BkP), dtype=b.dtype)
+            r = np.arange(mbk) % 8
+            band8[np.arange(mbk)[:, None],
+                  (ck - Wb) + r[:, None] + np.arange(wk)[None, :], :Bk0] = \
+                b.transpose(1, 2, 0)
+            gP = np.full((mbk, BkP), -1, dtype=g.dtype)
+            gP[:, :Bk0] = g.T
+            bands.append(jnp.asarray(band8))
+            centers.append(jnp.asarray(band8[:, ck:ck + 8, :]))
+            gidxs.append(jnp.asarray(gP))
+            meta.append((ck, WP))
+        out = (tuple(bands), tuple(centers), tuple(gidxs), tuple(meta))
+        self._dev_cache["v3"] = out
+        return out
+
 
 def block_layout(block_sizes):
     """(slot_of_global (m,), global_of_slot (B, mb), valid (B, mb)).
@@ -455,12 +497,16 @@ def _dp0_mc(bands, NC):
 
 def _sweeps_bucketed_mc(bands, gidx, dp_pads, curr_beta, consts, u, z,
                         inv_odd_p, p, sparse_vec, shrink_corr,
-                        no_jump_sign, m, use_pallas=False):
+                        no_jump_sign, m, use_pallas=False, bcs=None,
+                        meta=None):
     """One full Gibbs sweep over all buckets for NC chains at once.
 
     curr_beta/u/z: (NC, m); consts = (bh (m,), C2, C4, s1 each (NC, m));
-    inv_odd_p/p: (NC,); sparse_vec: bool (NC,). Returns per-bucket dp2
-    (NC, L, Bk), nb (NC, m), and aux with per-chain reductions."""
+    inv_odd_p/p: (NC,); sparse_vec: bool (NC,). With bcs/meta (from
+    BlockBands.device_put_mc) the v3 width-paneled kernel runs;
+    otherwise the v2 full-dp kernel (device_put layout). Returns
+    per-bucket dp2 (NC, L, Bk), nb (NC, m), and aux with per-chain
+    reductions."""
     bh, C2, C4, s1 = consts
     NC = curr_beta.shape[0]
     dt = bands[0].dtype
@@ -477,17 +523,26 @@ def _sweeps_bucketed_mc(bands, gidx, dp_pads, curr_beta, consts, u, z,
     gath = jax.vmap(_gather_set, in_axes=(0, 0, None))
     dp2 = []
     for k, (bk, gk) in enumerate(zip(bands, gidx)):
-        Wk = (bk.shape[1] - 8) // 2      # center offset CK (see device_put)
+        # center column: ck in the v3 layout, (wk8-8)//2 in device_put's
+        Wk = meta[k][0] if meta is not None else (bk.shape[1] - 8) // 2
         cbk = scat(curr_beta, gk)        # (NC, mbk, Bk)
         plan = None
+        v3 = False
         if use_pallas:
             from bigsnpr_tpu.pgs import gibbs_pallas as gp
 
             mbk, wk8, Bk = bk.shape
             L = dp_pads[k].shape[1]
             dtb = bk.dtype
-            plan = gp.plan_mc(mbk, wk8, Bk, L, NC,
-                              itemsize=jnp.dtype(dtb).itemsize)
+            isz = jnp.dtype(dtb).itemsize
+            if meta is not None:
+                plan = gp.plan_v3(mbk, wk8, Bk, L, NC, meta[k][1],
+                                  itemsize=isz)
+                v3 = plan is not None
+            if plan is None:
+                # small/unaligned bucket: v2 kernel works on either
+                # layout given the explicit center column Wk
+                plan = gp.plan_mc(mbk, wk8, Bk, L, NC, itemsize=isz)
         if plan is not None:
             ones = jnp.ones((NC, mbk, Bk), dtb)
             c4b = scat1(C4, gk)
@@ -501,21 +556,37 @@ def _sweeps_bucketed_mc(bands, gidx, dp_pads, curr_beta, consts, u, z,
             rows += [jnp.zeros((NC, mbk, Bk), dtb)] * (gp.NIN - len(rows))
             # (NIN, NC, mbk, Bk) -> (mbk, NC, NIN, Bk)
             xin = jnp.stack(rows, axis=0).transpose(2, 1, 0, 3)
-            LT, RG, NCT = plan
             interp = jax.default_backend() != "tpu"
+            if v3:
+                LT, NCT = plan
+
+                def call(bsl, xsl, dsl, lt0, k=k, LT=LT):
+                    csl = jax.lax.slice(
+                        bcs[k], (0, 0, lt0), (mbk, 8, lt0 + LT))
+                    return gp.sweep_bucket_pallas_v3(
+                        bsl, csl, xsl, dsl, meta[k][0], meta[k][1],
+                        bool(no_jump_sign), interpret=interp)
+            else:
+                LT, RG, NCT = plan
+
+                def call(bsl, xsl, dsl, lt0, RG=RG):
+                    return gp.sweep_bucket_pallas_mc(
+                        bsl, xsl, dsl, Wk, RG, bool(no_jump_sign),
+                        interpret=interp)
+
             lane_parts = []
             for lt0 in range(0, Bk, LT):
                 chain_parts = []
                 for c0 in range(0, NC, NCT):
                     c1 = min(c0 + NCT, NC)
-                    ys_p, dp_p, h2_p, gap_p = gp.sweep_bucket_pallas_mc(
+                    ys_p, dp_p, h2_p, gap_p = call(
                         jax.lax.slice(bk, (0, 0, lt0),
                                       (mbk, wk8, lt0 + LT)),
                         jax.lax.slice(xin, (0, c0, 0, lt0),
                                       (mbk, c1, gp.NIN, lt0 + LT)),
                         jax.lax.slice(dp_pads[k], (c0, 0, lt0),
                                       (c1, L, lt0 + LT)),
-                        Wk, RG, bool(no_jump_sign), interpret=interp)
+                        lt0)
                     chain_parts.append((ys_p, dp_p, h2_p, gap_p))
                 lane_parts.append(tuple(
                     jnp.concatenate([cp[i] for cp in chain_parts],
@@ -655,7 +726,7 @@ def _gibbs_one_blocked_xla(bands, gidx, beta_hat, n_vec, h2, p, sparse, key,
 
 
 def _multi_sweep_body(bands, gidx, state, beta_hat, n_vec, h2, p, sparse_vec,
-                      keys, burn_in, m, use_pallas):
+                      keys, burn_in, m, use_pallas, bcs=None, meta=None):
     """One chain-batched grid-cell sweep: h2/p/sparse_vec are (NC,) —
     each cell runs its own (h2, p, sparse) with its own key stream,
     bit-identical to the per-cell gibbs_one_blocked loop."""
@@ -677,18 +748,20 @@ def _multi_sweep_body(bands, gidx, state, beta_hat, n_vec, h2, p, sparse_vec,
     u, z = jax.vmap(draw)(keys)
     dp2, nb, aux = _sweeps_bucketed_mc(
         bands, gidx, dp_pads, curr_beta, (beta_hat, C2, C4, s1), u, z,
-        inv_odd_p, p, sparse_vec, 1.0, False, m, use_pallas=use_pallas)
+        inv_odd_p, p, sparse_vec, 1.0, False, m, use_pallas=use_pallas,
+        bcs=bcs, meta=meta)
     gap, _, _, _, beta_inc, _ = aux
     post = (k >= burn_in) & ~diverged                 # (NC,)
     avg2 = avg_beta + jnp.where(post[:, None], beta_inc, 0.0)
     return dp2, nb, avg2, diverged | (gap > gap0), k + 1
 
 
-@partial(jax.jit, static_argnames=("m", "use_pallas"))
+@partial(jax.jit, static_argnames=("m", "use_pallas", "meta"))
 def _multi_sweep_prog(bands, gidx, state, beta_hat, n_vec, h2, p, sparse_vec,
-                      keys, burn_in, m, use_pallas):
+                      keys, burn_in, bcs, m, use_pallas, meta):
     return _multi_sweep_body(bands, gidx, state, beta_hat, n_vec, h2, p,
-                             sparse_vec, keys, burn_in, m, use_pallas)
+                             sparse_vec, keys, burn_in, m, use_pallas,
+                             bcs=bcs, meta=meta)
 
 
 @partial(jax.jit, static_argnames=("burn_in", "num_iter", "m"))
@@ -713,7 +786,7 @@ def _gibbs_multi_blocked_xla(bands, gidx, beta_hat, n_vec, h2, p, sparse_vec,
 
 def gibbs_multi_blocked(bands, gidx, beta_hat, n_vec, h2_vec, p_vec,
                         sparse_vec, keys, burn_in, num_iter, m,
-                        use_pallas=False):
+                        use_pallas=False, bcs=None, meta=None):
     """Chain-batched gibbs_one_blocked over NC grid cells: h2_vec/p_vec
     (NC,) float, sparse_vec (NC,) bool, keys (NC,) PRNG keys. Returns
     (NC, m) avg betas (NaN rows on divergence). On TPU (use_pallas) the
@@ -732,7 +805,8 @@ def gibbs_multi_blocked(bands, gidx, beta_hat, n_vec, h2_vec, p_vec,
     for _ in range(burn_in + num_iter):
         state = _multi_sweep_prog(bands, gidx, state, beta_hat, n_vec,
                                   h2_vec, p_vec, sparse_vec, keys,
-                                  burn_in_d, m=m, use_pallas=True)
+                                  burn_in_d, bcs, m=m, use_pallas=True,
+                                  meta=meta)
     _, _, avg, diverged, _ = state
     return jnp.where(diverged[:, None], jnp.nan, avg / num_iter)
 
@@ -740,7 +814,8 @@ def gibbs_multi_blocked(bands, gidx, beta_hat, n_vec, h2_vec, p_vec,
 def _multi_auto_sweep_body(bands, gidx, state, beta_hat, n_vec, log_var,
                            keys, shrink_corr, p_bounds, alpha_bounds,
                            mean_ld, burn_in, m, report_step, num_reports,
-                           use_mle, no_jump_sign, use_pallas):
+                           use_mle, no_jump_sign, use_pallas, bcs=None,
+                           meta=None):
     """One chain-batched auto sweep: all hyper-parameters are (NC,),
     per-variant state (NC, m); beta/Poisson/MLE draws vmapped over the
     per-chain key streams (bit-identical to the per-chain loop)."""
@@ -767,7 +842,7 @@ def _multi_auto_sweep_body(bands, gidx, state, beta_hat, n_vec, log_var,
     dp2, nb, aux = _sweeps_bucketed_mc(
         bands, gidx, dp_pads, curr_beta, (beta_hat, C2, C4, s1), u, z,
         inv_odd_p, p, jnp.zeros((NC,), bool), shrink_corr, no_jump_sign,
-        m, use_pallas=use_pallas)
+        m, use_pallas=use_pallas, bcs=bcs, meta=meta)
     gap, causal, h2_inc, postp_inc, beta_inc, dps = aux
     ok = ~diverged                                    # prior-sweep state
     div2 = diverged | (gap > gap0)
@@ -828,22 +903,26 @@ def _multi_auto_sweep_body(bands, gidx, state, beta_hat, n_vec, log_var,
 
 
 @partial(jax.jit, static_argnames=("m", "report_step", "num_reports",
-                                   "use_mle", "no_jump_sign", "use_pallas"))
+                                   "use_mle", "no_jump_sign", "use_pallas",
+                                   "meta"))
 def _multi_auto_sweep_prog(bands, gidx, state, beta_hat, n_vec, log_var,
                            keys, shrink_corr, p_bounds, alpha_bounds,
-                           mean_ld, burn_in, m, report_step, num_reports,
-                           use_mle, no_jump_sign, use_pallas):
+                           mean_ld, burn_in, bcs, m, report_step,
+                           num_reports, use_mle, no_jump_sign, use_pallas,
+                           meta):
     return _multi_auto_sweep_body(
         bands, gidx, state, beta_hat, n_vec, log_var, keys, shrink_corr,
         p_bounds, alpha_bounds, mean_ld, burn_in, m, report_step,
-        num_reports, use_mle, no_jump_sign, use_pallas)
+        num_reports, use_mle, no_jump_sign, use_pallas, bcs=bcs,
+        meta=meta)
 
 
 def gibbs_auto_blocked_multi(bands, gidx, beta_hat, n_vec, log_var, p_inits,
                              h2_init, keys, shrink_corr, p_bounds,
                              alpha_bounds, mean_ld, burn_in, num_iter, m,
                              report_step=None, use_mle=True,
-                             no_jump_sign=False, use_pallas=False):
+                             no_jump_sign=False, use_pallas=False,
+                             bcs=None, meta=None):
     """Chain-batched ldpred2_gibbs_auto: p_inits (NC,), keys (NC,) PRNG
     keys. All NC chains advance through one program per sweep (the
     reference's 30-process chain grid, R/LDpred2.R:233-236, collapsed
@@ -873,7 +952,8 @@ def gibbs_auto_blocked_multi(bands, gidx, beta_hat, n_vec, log_var, p_inits,
     if use_pallas:
         for _ in range(num_iter_tot):
             state = _multi_auto_sweep_prog(bands, gidx, state, *args,
-                                           burn_in_d, use_pallas=True, **kw)
+                                           burn_in_d, bcs, use_pallas=True,
+                                           meta=meta, **kw)
     else:
         state = _gibbs_auto_blocked_xla_mc(
             bands, gidx, state, *args, burn_in_d,

@@ -48,7 +48,8 @@ def _lassosum2_impl(corr, beta_hat, N, scale, delta, nlambda,
     else:
         from bigsnpr_tpu.pgs.ldpred2 import _blocked_setup
 
-        gb, bands, gidx, bb, _ = _blocked_setup(corr, blocks, ind_corr, dt)
+        gb, bands, gidx, bb, _, _, _ = _blocked_setup(corr, blocks,
+                                                      ind_corr, dt)
         m = bb.m
         assert m == len(beta_hat)
 

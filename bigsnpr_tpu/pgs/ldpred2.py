@@ -59,13 +59,17 @@ def snp_ldpred2_inf(corr: SparseLD, df_beta, h2: float) -> np.ndarray:
     return beta_inf * scale
 
 
-def _blocked_setup(corr, blocks, ind_corr, dt, shard=False):
+def _blocked_setup(corr, blocks, ind_corr, dt, shard=False, mc=False):
     """Build the bucketed block bands for the blocked samplers.
 
     blocks: array of block sizes, or "auto" to derive them — exact
     independence cuts from the LD structure, oversized blocks split via
     snp_ldsplit (the reference's recommended practice of making the LD
-    block-diagonal, vignettes/LDpred2.Rmd)."""
+    block-diagonal, vignettes/LDpred2.Rmd).
+
+    With mc=True and the Pallas path active, returns the v3 device
+    layout (bands, gidx, band-center strips, meta) for the multi-chain
+    width-paneled kernel; bcs/meta are None on the classic layout."""
     from bigsnpr_tpu.pgs import gibbs_blocked as gb
 
     if isinstance(blocks, gb.BlockBands):
@@ -88,12 +92,16 @@ def _blocked_setup(corr, blocks, ind_corr, dt, shard=False):
             f"at block boundaries — consider ldsplit-derived blocks "
             f"(blocks='auto') or wider blocks.", RuntimeWarning,
             stacklevel=3)
-    bands, gidx = bb.device_put(shard=shard)
     # Pallas sweep kernel: TPU + f32 + unsharded (the XLA scan twin
     # serves CPU / f64 / GSPMD-sharded runs)
     use_pallas = (jax.default_backend() == "tpu"
                   and np.dtype(dt) == np.float32 and not shard)
-    return gb, bands, gidx, bb, use_pallas
+    if mc and use_pallas:
+        bands, bcs, gidx, meta = bb.device_put_mc()
+    else:
+        bands, gidx = bb.device_put(shard=shard)
+        bcs = meta = None
+    return gb, bands, gidx, bb, use_pallas, bcs, meta
 
 
 def _prep_sampler(corr, beta_hat, N, ind_corr, dtype=np.float32):
@@ -164,8 +172,8 @@ def _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in, num_iter,
                   ind_corr, seed, blocks, dt=np.float32):
     """Block-parallel grid sampler (LD must be block-diagonal w.r.t.
     `blocks`, e.g. from snp_ldsplit): sequential depth = max block size."""
-    gb, bands, gidx, bb, use_pallas = _blocked_setup(corr, blocks,
-                                                     ind_corr, dt)
+    gb, bands, gidx, bb, use_pallas, bcs, meta = _blocked_setup(
+        corr, blocks, ind_corr, dt, mc=True)
     m = bb.m
     assert m == len(beta_hat)
 
@@ -183,7 +191,7 @@ def _grid_blocked(corr, beta_hat, N, scale, grid_param, burn_in, num_iter,
         jnp.asarray(h2_grid, dt), jnp.asarray(p_grid, dt),
         jnp.asarray(sp_grid), keys,
         burn_in=burn_in, num_iter=num_iter, m=m,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, bcs=bcs, meta=meta)
     return np.asarray(out).T * scale[:, None]
 
 
@@ -242,8 +250,8 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
     keys = jax.random.split(key, len(vec_p_init))
 
     if blocks is not None:
-        gb, bands, gidx, bb, use_pallas = _blocked_setup(
-            corr, blocks, ind_corr, dt, shard=shard_blocks)
+        gb, bands, gidx, bb, use_pallas, bcs, meta = _blocked_setup(
+            corr, blocks, ind_corr, dt, shard=shard_blocks, mc=True)
         m = bb.m
         assert m == len(beta_hat)
         # all chains advance together through one chain-batched sweep
@@ -262,11 +270,14 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
             burn_in=burn_in, num_iter=num_iter, m=m,
             report_step=report_step, use_mle=use_MLE,
             no_jump_sign=not allow_jump_sign,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, bcs=bcs, meta=meta)
+        # one host transfer per key (per-chain np.asarray(v[c]) would be
+        # 7 x n_chains separate tunnel round-trips)
+        outs_np = {k2: np.asarray(v, dtype=np.float64)
+                   for k2, v in outs.items()}
         results = []
         for c in range(len(vec_p_init)):
-            res = {k2: np.asarray(v[c], dtype=np.float64)
-                   for k2, v in outs.items()}
+            res = {k2: v[c] for k2, v in outs_np.items()}
             res["beta_est"] = res["beta_est"] / sd
             res["h2_est"] = float(np.mean(res["path_h2_est"][-num_iter:]))
             res["p_est"] = float(np.mean(res["path_p_est"][-num_iter:]))
@@ -291,7 +302,7 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
                     jnp.stack([jax.random.fold_in(keys[c], 12345)
                                for c in live]),
                     burn_in=50, num_iter=100, m=m,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, bcs=bcs, meta=meta)
                 for i, c in enumerate(live):
                     results[c]["beta_est_sparse"] = \
                         np.asarray(bg[i], np.float64) / sd

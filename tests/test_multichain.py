@@ -172,6 +172,31 @@ def test_ldpred2_grid_multicell_end_to_end(blockdiag):
     np.testing.assert_allclose(out_blk, out_seq, rtol=2e-3, atol=1e-7)
 
 
+def test_v3_layout_matches_xla(device_bands, blockdiag):
+    """The v3 width-paneled kernel (interpret mode, via device_put_mc)
+    matches the XLA twin on the classic layout."""
+    corr, df_beta, sizes = blockdiag
+    bands, gidx, bh, nv, m = device_bands
+    bb = gb.build_block_bands(corr, sizes)
+    b3, bcs, g3, meta = bb.device_put_mc()
+    assert all(b.shape[1] % wp == 0 and ck == b.shape[1] // 2
+               for b, (ck, wp) in zip(b3, meta))
+    NC = 3
+    keys = jax.random.split(jax.random.PRNGKey(7), NC)
+    h2v = jnp.asarray([0.2, 0.3, 0.3], jnp.float32)
+    pv = jnp.asarray([0.2, 0.1, 0.3], jnp.float32)
+    spv = jnp.asarray([False, True, False])
+    ref = np.asarray(gb.gibbs_multi_blocked(
+        bands, gidx, bh, nv, h2v, pv, spv, keys,
+        burn_in=20, num_iter=30, m=m, use_pallas=False))
+    v3 = np.asarray(gb.gibbs_multi_blocked(
+        b3, g3, bh, nv, h2v, pv, spv, keys,
+        burn_in=20, num_iter=30, m=m, use_pallas=True, bcs=bcs, meta=meta))
+    assert np.array_equal(np.isnan(ref), np.isnan(v3))
+    np.testing.assert_allclose(np.nan_to_num(v3), np.nan_to_num(ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_plan_mc_fits_vmem():
     """The tile planner never exceeds the VMEM budget and covers the
     bucket exactly (round-3 verdict weak #3: clamp, don't compile-OOM)."""
