@@ -120,9 +120,12 @@ def _pair_sums_block(packed_t, packed_b, n, precision):
     B = packed_t.shape[0]
     Wb = packed_b.shape[0]
     nb = packed_t.shape[1]
-    # chunk the byte axis: planes are 3*(B+Wb)*4*cb floats
+    # chunk the byte axis: planes are 3*(B+Wb)*4*cb floats. The chunk
+    # loop is unrolled (see below), so also clamp the chunk COUNT: at
+    # biobank n the decoded planes grow instead (HBM-resident, fine)
     target = 32 * 1024 * 1024  # elements
-    cb_bytes = max(256, min(nb, target // max(1, 3 * (B + Wb) * 4)))
+    cb_bytes = max(256, min(nb, target // max(1, 3 * (B + Wb) * 4)),
+                   -(-nb // 16))
     nchunks = -(-nb // cb_bytes)
     pad = nchunks * cb_bytes - nb
     # pad with NA bytes so chunk tails contribute nothing
@@ -135,13 +138,12 @@ def _pair_sums_block(packed_t, packed_b, n, precision):
     pt = pt.reshape(B, nchunks, cb_bytes).transpose(1, 0, 2)
     pb = pb.reshape(Wb, nchunks, cb_bytes).transpose(1, 0, 2)
 
-    def body(acc, chunks):
+    def body(acc, pct, pcb):
         # the planes hold only {0, 1, 2, 4} — exact in bf16 — and the
         # f32 accumulator is exact up to 2^24 > 4n, so a SINGLE bf16 MXU
         # pass returns bit-identical integer sums at 1/6 the cycles of
         # precision=highest (`precision` is kept for the signature; the
         # single-pass path is exact regardless)
-        pct, pcb = chunks
         ct = unpack_codes(pct, cb_bytes * 4)
         cc = unpack_codes(pcb, cb_bytes * 4)
         mt = (ct != 1).astype(jnp.float32)
@@ -153,12 +155,16 @@ def _pair_sums_block(packed_t, packed_b, n, precision):
         if 4 * n < 2**24:  # f32 accumulator exact up to 2^24 (n <= 4.1M)
             return acc + jnp.dot(A.astype(jnp.bfloat16),
                                  C.astype(jnp.bfloat16).T,
-                                 preferred_element_type=jnp.float32), None
+                                 preferred_element_type=jnp.float32)
         return acc + jnp.dot(A, C.T, preferred_element_type=jnp.float32,
-                             precision=precision), None
+                             precision=precision)
 
-    G0 = jnp.zeros((3 * B, 3 * Wb), jnp.float32)
-    G, _ = jax.lax.scan(body, G0, (pt, pb))
+    # unrolled chunk loop: a lax.scan lowers to an XLA while-loop, which
+    # the tunnel-attached TPU runtime serializes (~0.5 s/iteration —
+    # the round-3 '59 variants/s' snp_cor pathology was exactly this)
+    G = jnp.zeros((3 * B, 3 * Wb), jnp.float32)
+    for c in range(nchunks):
+        G = body(G, pt[c], pb[c])
     Sxy = G[0:B, 0:Wb]
     Sx = G[0:B, 2 * Wb:3 * Wb]          # x against y-mask
     Sy = G[2 * B:3 * B, 0:Wb]           # x-mask against y
@@ -321,6 +327,8 @@ def _iter_kept_pairs_device(packed, n, m, left_start, THR, thr_floor,
     cross the host link — the at-scale path for snp_cor and clumping
     (the host-finalize path ships six dense f64 sum planes per block:
     ~50 bytes/pair, which is tunnel-bound at millions of variants)."""
+    from collections import deque
+
     packed_h = _na_pad_tail(np.asarray(packed), n)
     # HBM-resident when it fits comfortably; otherwise stream the
     # target+band byte rows per block (bands overlap, so streamed
@@ -329,28 +337,42 @@ def _iter_kept_pairs_device(packed, n, m, left_start, THR, thr_floor,
     dev_packed = jnp.asarray(packed_h) if resident else None
     THR_d = jnp.asarray(np.nan_to_num(THR, nan=np.inf), dtype=jnp.float32)
     cap = 1 << 14
-    for t0 in range(0, m, block):
+
+    def launch(t0, cap):
         t1 = min(t0 + block, m)
         b0 = int(left_start[t0:t1].min())
-        Wb = t1 - b0
         if resident:
             pt, pb = dev_packed[t0:t1], dev_packed[b0:t1]
         else:
             pb = jnp.asarray(packed_h[b0:t1])
             pt = pb[t0 - b0:]
         ls_d = jnp.asarray(left_start[t0:t1], dtype=jnp.int32)
-        while True:
-            buf = np.asarray(_pair_r_compact_block(
-                pt, pb, jnp.int32(t0), jnp.int32(b0), ls_d,
-                THR_d, jnp.float32(thr_floor), n, cap,
-                config.matmul_precision))
-            cnt = int(buf[0])
-            if cnt <= cap:
-                break
+        buf = _pair_r_compact_block(
+            pt, pb, jnp.int32(t0), jnp.int32(b0), ls_d,
+            THR_d, jnp.float32(thr_floor), n, cap,
+            config.matmul_precision)
+        return (t0, b0, t1 - b0, cap, buf)
+
+    # pipeline a few blocks of device work ahead of each host fetch —
+    # a synchronous fetch per block makes the loop tunnel-latency-bound
+    depth = 4
+    pending = deque()
+    next_t0 = 0
+    while pending or next_t0 < m:
+        while next_t0 < m and len(pending) < depth:
+            pending.append(launch(next_t0, cap))
+            next_t0 += block
+        t0, b0, Wb, cap_b, buf_d = pending.popleft()
+        buf = np.asarray(buf_d)
+        cnt = int(buf[0])
+        while cnt > cap_b:
             cap = 1 << (cnt - 1).bit_length()   # grow (monotone) & retry
+            _, _, _, cap_b, buf_d = launch(t0, cap)
+            buf = np.asarray(buf_d)
+            cnt = int(buf[0])
         if cnt:
             idxs = buf[1:1 + cnt]
-            vals = buf[1 + cap:1 + cap + cnt].view(np.float32)
+            vals = buf[1 + cap_b:1 + cap_b + cnt].view(np.float32)
             ii, kk = np.divmod(idxs, Wb)
             yield t0 + ii, b0 + kk, vals
 
