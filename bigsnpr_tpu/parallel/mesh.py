@@ -273,6 +273,38 @@ class MeshOperator:
         return B[:self.m], Y[:self.n]
 
 
+def pair_sums_fn(mesh: Mesh, precision="highest"):
+    """Distributed snp_cor inner kernel: the six banded NA-aware
+    pairwise-sum planes with the SAMPLE (byte) axis sharded over 's' —
+    the biobank-n layout where each chip sums its sample shard and one
+    psum over ICI merges the planes (the reference's per-pair sample
+    loop, src/corr.cpp:58-75, as a sharded stacked GEMM; plane algebra
+    identical to ops.corr._pair_sums_block).
+
+    Takes (targets (B, nbytes), band (Wb, nbytes)) with nbytes sharded;
+    the caller NA-pads tail bytes/pad bytes. Returns the (3B, 3Wb) G
+    plane (exact integer sums in f32)."""
+    from bigsnpr_tpu.core.unpack import unpack_codes
+
+    def local(pt_loc, pb_loc):
+        cb = pt_loc.shape[1]
+        ct = unpack_codes(pt_loc, cb * 4)
+        cc = unpack_codes(pb_loc, cb * 4)
+        mt = (ct != 1).astype(jnp.float32)
+        mb = (cc != 1).astype(jnp.float32)
+        xt = (2 - ((ct + 1) >> 1)).astype(jnp.float32) * mt
+        xb = (2 - ((cc + 1) >> 1)).astype(jnp.float32) * mb
+        A = jnp.concatenate([xt, xt * xt, mt], axis=0)
+        C = jnp.concatenate([xb, xb * xb, mb], axis=0)
+        G = jnp.dot(A, C.T, preferred_element_type=jnp.float32,
+                    precision=precision)
+        return jax.lax.psum(G, "s")
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(None, "s"), P(None, "s")),
+        out_specs=P(None, None)))
+
+
 def colstats_fn(mesh: Mesh):
     """Jitted sharded per-variant (sum, ssq, nona) with psum over samples."""
     from bigsnpr_tpu.core.unpack import unpack_codes
