@@ -351,6 +351,167 @@ def _pallas_prod_i8(packed, Zt, cs, interpret=False, tm=TM, tnb=TNB,
     return jnp.sum(zA, axis=1, keepdims=True) - pna - pt
 
 
+# --- int8m: at-rest materialized int8 planes (round-3 verdict #5).
+# The 2-bit decode costs ~36 serialized VPU lane-ops/byte per pass; the
+# measured bound of the int8 path is that decode, not HBM or MXU.
+# Materializing the T (+NA) planes once as int8 arrays trades 4x (8x
+# with NA) HBM bytes for zero per-pass decode: each pass is then a pure
+# int8 MXU GEMM streaming the planes.
+
+
+@partial(jax.jit, static_argnames=("tnb", "nona"))
+def materialize_int8_planes(packed, tnb, nona=False):
+    """(m, nb) packed -> (T, NA) int8 planes (m, 4*nb) in the kernels'
+    bit-plane sample order (NA is None when nona). One decode pass."""
+    m, nb = packed.shape
+    pb = packed.astype(jnp.int32).reshape(m, nb // tnb, 1, tnb)
+    T, NA = [], []
+    for k in range(4):
+        b0 = (pb >> (2 * k)) & 1
+        b1 = (pb >> (2 * k + 1)) & 1
+        u = b0 & b1
+        T.append((b1 + u).astype(jnp.int8))
+        if not nona:
+            NA.append((b0 - u).astype(jnp.int8))
+    Tm = jnp.concatenate(T, axis=2).reshape(m, nb * 4)
+    if nona:
+        return Tm, None
+    return Tm, jnp.concatenate(NA, axis=2).reshape(m, nb * 4)
+
+
+def _cprod_kernel_i8m(t_ref, q8_ref, out_ref):
+    j = pl.program_id(1)
+    q8 = q8_ref[...]
+    l = q8.shape[0] // NPLANES
+    part = _combine_planes(_dot_i8_t(q8, t_ref[...]), l)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
+def _cprod_kernel_i8m_na(t_ref, na_ref, q8_ref, out_ref):
+    j = pl.program_id(1)
+    q8 = q8_ref[...]
+    l = q8.shape[0] // NPLANES
+    pt = _combine_planes(_dot_i8_t(q8, t_ref[...]), l)
+    pna = _combine_planes(_dot_i8_t(q8, na_ref[...]), l)
+    part = jnp.concatenate([pt, pna], axis=0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
+def _prod_kernel_i8m(t_ref, zb8_ref, out_ref):
+    i = pl.program_id(1)
+    zb8 = zb8_ref[...]
+    l = zb8.shape[0] // NPLANES
+    part = _combine_planes(
+        jax.lax.dot_general(zb8, t_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32), l)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
+def _prod_kernel_i8m_na(t_ref, na_ref, zb8_ref, za8_ref, out_ref):
+    i = pl.program_id(1)
+    zb8 = zb8_ref[...]
+    za8 = za8_ref[...]
+    l = zb8.shape[0] // NPLANES
+    pt = _combine_planes(
+        jax.lax.dot_general(zb8, t_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32), l)
+    pna = _combine_planes(
+        jax.lax.dot_general(za8, na_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32), l)
+    part = jnp.concatenate([pt, pna], axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
+def _pallas_cprod_i8m(planes, Qp, cs, interpret=False, tm=TM, tnb=TNB):
+    """int8m cprod: materialized planes, no in-kernel decode."""
+    Tm, NAm = planes
+    m = Tm.shape[0]
+    nb = Tm.shape[1] // 4
+    l = Qp.shape[0]
+    q8, qscale = _int8_planes(Qp)
+    grid = (m // tm, nb // tnb)
+    nona = NAm is None
+    ol = l if nona else 2 * l
+    tspec = pl.BlockSpec((tm, 4 * tnb), lambda i, j: (i, j))
+    qspec = pl.BlockSpec((NPLANES * l, 4 * tnb), lambda i, j: (0, j))
+    ospec = pl.BlockSpec((ol, tm), lambda i, j: (0, i))
+    oshape = jax.ShapeDtypeStruct((ol, m), jnp.float32)
+    if nona:
+        raw = pl.pallas_call(
+            _cprod_kernel_i8m, grid=grid, in_specs=[tspec, qspec],
+            out_specs=ospec, out_shape=oshape, interpret=interpret,
+        )(Tm, q8)
+        pna = 0.0
+    else:
+        raw = pl.pallas_call(
+            _cprod_kernel_i8m_na, grid=grid,
+            in_specs=[tspec, tspec, qspec],
+            out_specs=ospec, out_shape=oshape, interpret=interpret,
+        )(Tm, NAm, q8)
+        pna = raw[l:] * qscale[:, None]
+    pt = raw[:l] * qscale[:, None]
+    c_row, s_row = cs[0, :], cs[1, :]
+    A = (2.0 - c_row) * s_row
+    qsum = jnp.sum(Qp, axis=1, keepdims=True)
+    return (qsum - pna) * A[None, :] - pt * s_row[None, :]
+
+
+def _pallas_prod_i8m(planes, Zt, cs, interpret=False, tm=TM, tnb=TNB):
+    """int8m prod: materialized planes, no in-kernel decode."""
+    Tm, NAm = planes
+    m = Tm.shape[0]
+    nb = Tm.shape[1] // 4
+    l = Zt.shape[0]
+    c_row, s_row = cs[0, :], cs[1, :]
+    zA = Zt * ((2.0 - c_row) * s_row)[None, :]
+    zB = Zt * s_row[None, :]
+    zb8, zbs = _int8_planes(zB)
+    grid = (nb // tnb, m // tm)
+    tspec = pl.BlockSpec((tm, 4 * tnb), lambda j, i: (i, j))
+    zspec = pl.BlockSpec((NPLANES * l, tm), lambda j, i: (0, i))
+    nona = NAm is None
+    if nona:
+        raw = pl.pallas_call(
+            _prod_kernel_i8m, grid=grid, in_specs=[tspec, zspec],
+            out_specs=pl.BlockSpec((l, 4 * tnb), lambda j, i: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((l, nb * 4), jnp.float32),
+            interpret=interpret,
+        )(Tm, zb8)
+        pna = 0.0
+    else:
+        za8, zas = _int8_planes(zA)
+        raw = pl.pallas_call(
+            _prod_kernel_i8m_na, grid=grid,
+            in_specs=[tspec, tspec, zspec, zspec],
+            out_specs=pl.BlockSpec((2 * l, 4 * tnb), lambda j, i: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((2 * l, nb * 4), jnp.float32),
+            interpret=interpret,
+        )(Tm, NAm, zb8, za8)
+        pna = raw[l:] * zas[:, None]
+    pt = raw[:l] * zbs[:, None]
+    return jnp.sum(zA, axis=1, keepdims=True) - pna - pt
+
+
 def _cprod_kernel(pb_ref, q_ref, cs_ref, out_ref):
     j = pl.program_id(1)
     c_row = cs_ref[0, :].reshape(-1, 1)
@@ -370,7 +531,7 @@ def _cprod_kernel(pb_ref, q_ref, cs_ref, out_ref):
 
 @partial(jax.jit, static_argnames=("interpret", "tm", "mxu", "tnb", "nona"))
 def pallas_cprod(packed, Qp, cs, interpret=False, tm=TM, mxu="highest",
-                 tnb=TNB, nona=False):
+                 tnb=TNB, nona=False, planes=None):
     """X̃ᵀ-product: (m, nb) packed, Qp (l, n_pad) permuted, cs (2+, m)
     [center; 1/scale] -> (l, m). l must be a multiple of 8; m a multiple
     of the variant tile `tm`; nb a multiple of the byte tile `tnb`
@@ -381,6 +542,9 @@ def pallas_cprod(packed, Qp, cs, interpret=False, tm=TM, mxu="highest",
     exact-integer bf16 bit-plane GEMMs with row-stacked hi/lo Q
     (~f32-accurate, 2 narrow passes); "int8" = int8-MXU bit planes with
     radix-128 Q digits (~f32-accurate, 2 double-rate passes)."""
+    if mxu == "int8m":
+        return _pallas_cprod_i8m(planes, Qp, cs, interpret=interpret,
+                                 tm=tm, tnb=tnb)
     if mxu == "int8":
         return _pallas_cprod_i8(packed, Qp, cs, interpret=interpret, tm=tm,
                                 tnb=tnb, nona=nona)
@@ -418,8 +582,12 @@ def _prod_kernel(pb_ref, z_ref, cs_ref, out_ref):
 
 @partial(jax.jit, static_argnames=("interpret", "tm", "mxu", "tnb", "nona"))
 def pallas_prod(packed, Zt, cs, interpret=False, tm=TM, mxu="highest",
+                planes=None,
                 tnb=TNB, nona=False):
     """X̃-product: Zt (l, m) -> (l, n_pad) permuted-sample outputs."""
+    if mxu == "int8m":
+        return _pallas_prod_i8m(planes, Zt, cs, interpret=interpret,
+                                tm=tm, tnb=tnb)
     if mxu == "int8":
         return _pallas_prod_i8(packed, Zt, cs, interpret=interpret, tm=tm,
                                tnb=tnb, nona=nona)
@@ -443,7 +611,8 @@ def pallas_prod(packed, Zt, cs, interpret=False, tm=TM, mxu="highest",
 @partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret", "mxu",
                                    "tnb", "nona", "m_full"))
 def _cprod_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret,
-               mxu="highest", tnb=TNB, nona=False, m_full=None):
+               mxu="highest", tnb=TNB, nona=False, m_full=None,
+               planes=None):
     """Scatter V (n_sub, l) into kernel sample order, run cprod, gather
     the ind_col rows on device -> (m_sub, l). One device round-trip.
 
@@ -452,7 +621,7 @@ def _cprod_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret,
     l = V.shape[1]
     Qk = jnp.zeros((n_pad, l_pad), jnp.float32).at[row_pos, :l].set(V)
     out = pallas_cprod(packed, Qk.T, cs, interpret=interpret, mxu=mxu,
-                       tnb=tnb, nona=nona)
+                       tnb=tnb, nona=nona, planes=planes)
     if m_full is not None:
         return out[:l, :m_full].T
     return out[:l][:, col_idx].T
@@ -461,7 +630,8 @@ def _cprod_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret,
 @partial(jax.jit, static_argnames=("l_pad", "interpret", "mxu", "tnb",
                                    "nona", "m_full"))
 def _prod_sub(packed, cs, U, row_pos, col_idx, l_pad, interpret,
-              mxu="highest", tnb=TNB, nona=False, m_full=None):
+              mxu="highest", tnb=TNB, nona=False, m_full=None,
+              planes=None):
     """Scatter U (m_sub, l) into full variant space, run prod, gather
     the ind_row samples on device -> (n_sub, l)."""
     l = U.shape[1]
@@ -471,14 +641,15 @@ def _prod_sub(packed, cs, U, row_pos, col_idx, l_pad, interpret,
     else:
         Zk = jnp.zeros((m_pad, l_pad), jnp.float32).at[col_idx, :l].set(U)
     out = pallas_prod(packed, Zk.T, cs, interpret=interpret, mxu=mxu,
-                      tnb=tnb, nona=nona)
+                      tnb=tnb, nona=nona, planes=planes)
     return out[:l].T[row_pos]
 
 
 @partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret", "mxu",
                                    "tnb", "nona", "m_full"))
 def _power_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret,
-               mxu="highest", tnb=TNB, nona=False, m_full=None):
+               mxu="highest", tnb=TNB, nona=False, m_full=None,
+               planes=None):
     """Fused power step: one device program computing B = X̃ᵀV (gathered
     to ind_col) and Y = X̃·mask(B) (gathered to ind_row); the wide
     intermediate never crosses the host link.
@@ -489,15 +660,15 @@ def _power_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret,
     l = V.shape[1]
     Qk = jnp.zeros((n_pad, l_pad), jnp.float32).at[row_pos, :l].set(V)
     B = pallas_cprod(packed, Qk.T, cs, interpret=interpret, mxu=mxu, tnb=tnb,
-                     nona=nona)
+                     nona=nona, planes=planes)
     if m_full is not None:
         Y = pallas_prod(packed, B, cs, interpret=interpret, mxu=mxu,
-                        tnb=tnb, nona=nona)
+                        tnb=tnb, nona=nona, planes=planes)
         return B[:l, :m_full].T, Y[:l].T[row_pos]
     m_pad = packed.shape[0]
     Bm = jnp.zeros((m_pad, l_pad), jnp.float32).at[col_idx].set(B.T[col_idx])
     Y = pallas_prod(packed, Bm.T, cs, interpret=interpret, mxu=mxu, tnb=tnb,
-                    nona=nona)
+                    nona=nona, planes=planes)
     return B[:l][:, col_idx].T, Y[:l].T[row_pos]
 
 
@@ -577,6 +748,11 @@ class PallasOperator:
         self.col_idx = jnp.asarray(cols, dtype=jnp.int32)
         # full-variant fast path: slice instead of m-sized gathers
         self.m_full = m if ind_col is None else None
+        # int8m: at-rest materialized int8 planes (4x packed bytes, 8x
+        # with NA) — zero per-pass decode; built once on device
+        self.planes = (materialize_int8_planes(self.packed, self.tnb,
+                                               self.nona)
+                       if self.mxu == "int8m" else None)
 
     @staticmethod
     def _as_2d(arr):
@@ -591,7 +767,7 @@ class PallasOperator:
         out = np.asarray(_cprod_sub(self.packed, self.cs, V, self.row_pos,
                                     self.col_idx, self.n_pad, l_pad,
                                     self.interpret, self.mxu, self.tnb,
-                                    self.nona, self.m_full))
+                                    self.nona, self.m_full, self.planes))
         return out[:, 0] if squeeze else out
 
     def prod(self, U):
@@ -601,7 +777,7 @@ class PallasOperator:
         out = np.asarray(_prod_sub(self.packed, self.cs, U, self.row_pos,
                                    self.col_idx, l_pad, self.interpret,
                                    self.mxu, self.tnb, self.nona,
-                                   self.m_full))
+                                   self.m_full, self.planes))
         return out[:, 0] if squeeze else out
 
     def power(self, V):
@@ -616,4 +792,5 @@ class PallasOperator:
         l_pad = V.shape[1] + (-V.shape[1]) % 8
         return _power_sub(self.packed, self.cs, V, self.row_pos,
                           self.col_idx, self.n_pad, l_pad, self.interpret,
-                          self.mxu, self.tnb, self.nona, self.m_full)
+                          self.mxu, self.tnb, self.nona, self.m_full,
+                          self.planes)

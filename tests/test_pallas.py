@@ -226,3 +226,26 @@ def test_int8_nona_parity():
                                        n=n), center, scale, interpret=True,
                               mxu="int8")
     assert op_na.nona is False
+
+
+def test_int8m_materialized_planes():
+    """int8m (at-rest int8 planes, zero per-pass decode) matches the
+    dense oracle with and without NAs."""
+    import numpy as np
+    from bigsnpr_tpu import snp_fake, bed_scaleBinom
+    from bigsnpr_tpu.ops import pallas_kernels as pk
+
+    for na_prob in (0.0, 0.05):
+        pack = snp_fake(256, 640, seed=3, na_prob=na_prob)
+        sc = bed_scaleBinom(pack)
+        op = pk.PallasOperator(pack, sc["center"], sc["scale"], mxu="int8m")
+        rng = np.random.default_rng(1)
+        V = rng.standard_normal((pack.n, 8)).astype(np.float32)
+        B, Y = op.power(V)
+        X = pack.to_dosage()
+        Xt = np.nan_to_num((X - sc["center"]) /
+                           np.where(sc["scale"] > 0, sc["scale"], 1.0))
+        Bo = Xt.T @ V
+        np.testing.assert_allclose(B, Bo, atol=2e-4 * np.abs(Bo).max())
+        Yo = Xt @ Bo
+        np.testing.assert_allclose(Y, Yo, atol=2e-4 * np.abs(Yo).max())
