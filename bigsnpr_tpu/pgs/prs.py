@@ -22,9 +22,19 @@ def _prod_vec_rev(pack, betas, same, ind_keep):
 
     Column-subsets the pack first (a cheap packed-row gather) so each
     threshold group touches only its own columns — the incremental C+T
-    loop stays O(n*m) total across all thresholds."""
+    loop stays O(n*m) total across all thresholds. The subset is padded
+    to power-of-two sizes (pad betas are zero, contributing nothing):
+    grid-PRS calls this once per (cell, threshold) with ever-different
+    group sizes, and an unpadded jit would recompile per size (measured
+    hang: 28 cells x 50 thresholds = 1,400 XLA compiles)."""
     betas_mod = (2 * same.astype(np.float64) - 1) * betas
-    sub = pack.subset(ind_col=np.asarray(ind_keep))
+    ind_keep = np.asarray(ind_keep)
+    k = len(ind_keep)
+    kp = max(64, 1 << (k - 1).bit_length())
+    if kp > k:
+        ind_keep = np.concatenate([ind_keep, np.full(kp - k, ind_keep[0])])
+        betas_mod = np.concatenate([betas_mod, np.zeros(kp - k)])
+    sub = pack.subset(ind_col=ind_keep)
     score = np.asarray(snp_prodVec(sub, betas_mod), dtype=np.float64)
     return score + 2 * betas[~same].sum()
 
@@ -51,18 +61,25 @@ def snp_PRS(pack, betas_keep, ind_test=None, ind_keep=None, same_keep=None,
     lpS_keep = np.asarray(lpS_keep, dtype=np.float64)
     assert np.all(lpS_keep >= 0)
 
-    scores = np.empty((sub.n, len(thr_arr)))
-    ind_rem = np.arange(len(ind_keep))
-    last = np.zeros(sub.n)
-    for i in np.argsort(-thr_arr, kind="stable"):
-        pass_thr = lpS_keep[ind_rem] > thr_arr[i]
-        ind = ind_rem[pass_thr]
-        if len(ind):
-            last = last + _prod_vec_rev(sub, betas_keep[ind], same_keep[ind],
-                                        ind_keep[ind])
-        scores[:, i] = last
-        ind_rem = ind_rem[~pass_thr]
-    return scores
+    # ONE GEMM for all thresholds: column i scores the betas passing
+    # thr_arr[i] (column j of the kept subset contributes
+    # betas_mod[j] * [lpS[j] > thr_i]) plus the reversal constant.
+    # The reference's incremental per-threshold loop (R/PRS.R:57-71)
+    # becomes a (n, k) x (k, n_thr) product — grid-PRS over 28 cells x
+    # 50 thresholds was 1,400 separate dispatches/compiles before.
+    betas_mod = (2 * same_keep.astype(np.float64) - 1) * betas_keep
+    mask = lpS_keep[:, None] > thr_arr[None, :]          # (k, n_thr)
+    B = betas_mod[:, None] * mask
+    ind = np.asarray(ind_keep)
+    k = len(ind)
+    kp = max(64, 1 << max(k - 1, 1).bit_length())
+    if kp > k:   # pad to power-of-two sizes: few jit shapes across cells
+        ind = np.concatenate([ind, np.full(kp - k, ind[0])])
+        B = np.concatenate([B, np.zeros((kp - k, len(thr_arr)))], axis=0)
+    sub2 = sub.subset(ind_col=ind)
+    scores = np.asarray(snp_prodVec(sub2, B), dtype=np.float64)
+    consts = 2.0 * (((~same_keep) * betas_keep) @ mask)
+    return scores + consts[None, :]
 
 
 def snp_thr_correct(beta, beta_se=None, lpS=None, thr_lpS=0.0):
