@@ -182,9 +182,7 @@ def _measure(size_name):
                                   jnp.asarray(np.argsort(p)))
                 return perms[tnb]
 
-            from functools import partial
-
-            @partial(jax.jit, static_argnames=("tm", "mxu", "tnb"))
+            @pk.tpu_jit(static_argnames=("tm", "mxu", "tnb"))
             def pallas_step_arg(packed, csj, permj, inv_perm, Q, tm, mxu,
                                 tnb, planes=None):
                 Qp = (Q[:, :l] * 1e-3).T[:, permj]      # (l, n) permuted
@@ -198,32 +196,39 @@ def _measure(size_name):
 
             def planes_for(tnb):
                 # int8m: at-rest materialized int8 planes (4-8x packed
-                # bytes for zero per-pass decode — round-3 verdict #5)
+                # bytes for zero per-pass decode — round-3 verdict #5).
+                # Keep at most ONE layout resident: two tnb layouts of a
+                # 537 MB pack are ~8.6 GB of HBM together (round-4 OOM).
                 if tnb not in planes_cache:
+                    planes_cache.clear()
                     planes_cache[tnb] = jax.block_until_ready(
-                        pk.materialize_int8_planes(packed, tnb, False))
+                        pk.materialize_int8_planes_chunked(packed, tnb,
+                                                           False))
                 return planes_cache[tnb]
 
             best_dt, best_cfg = None, None
-            for tm, mxu, tnb in ((512, "int8", 512), (512, "int8m", 512),
-                                 (512, "int8m", 1024), (512, "int8", 1024),
+            for tm, mxu, tnb in ((512, "int8", 512), (512, "int8", 1024),
                                  (512, "split2", 512), (512, "int8", 128),
-                                 (512, "highest", 128)):
-                permj, inv_perm = perm_pair(tnb)
-                planes = planes_for(tnb) if mxu == "int8m" else None
-
-                def pallas_step(Q, tm=tm, mxu=mxu, tnb=tnb,
-                                permj=permj, inv_perm=inv_perm,
-                                planes=planes):
-                    return pallas_step_arg(packed, csj, permj, inv_perm,
-                                           Q, tm, mxu, tnb, planes)
-
+                                 (512, "highest", 128),
+                                 (512, "int8m", 512), (512, "int8m", 1024)):
+                # int8m configs LAST: a plane-materialization OOM after
+                # a runtime hiccup must not cost the decode-mode numbers
                 try:
+                    permj, inv_perm = perm_pair(tnb)
+                    planes = planes_for(tnb) if mxu == "int8m" else None
+
+                    def pallas_step(Q, tm=tm, mxu=mxu, tnb=tnb,
+                                    permj=permj, inv_perm=inv_perm,
+                                    planes=planes):
+                        return pallas_step_arg(packed, csj, permj, inv_perm,
+                                               Q, tm, mxu, tnb, planes)
+
                     dt_p = timeit(pallas_step, Q0, iters,
                                   label=f"pallas_tm{tm}_{mxu}_tnb{tnb}")
                 except Exception as e:  # noqa: BLE001 - per-config report
                     log(f"pallas[tm={tm},{mxu},tnb={tnb}] FAILED: "
                         f"{type(e).__name__}: {e}")
+                    planes_cache.clear()
                     continue
                 log(f"pallas[tm={tm},{mxu},tnb={tnb}]: {dt_p*1e3:.1f} "
                     f"ms/iter -> {2.0*m*n/dt_p/1e9:.1f} GVS")
@@ -246,6 +251,7 @@ def _measure(size_name):
                     f"med {results['gvs_pallas']} max {gvss[-1]:.1f} GVS")
                 (results["pallas_tm"], results["pallas_mxu"],
                  results["pallas_tnb"]) = best_cfg
+            planes_cache.clear()  # release plane HBM before gibbs bench
         except Exception as e:  # noqa: BLE001 - reported, not swallowed
             log(f"pallas path FAILED: {type(e).__name__}: {e}")
             results["error_pallas"] = f"{type(e).__name__}: {e}"[:200]

@@ -58,12 +58,13 @@ def _device_krylov(op, n, m, k, l, tol, max_depth, seed, verbose):
     """
     import jax
     import jax.numpy as jnp
-    from functools import partial
+
+    from bigsnpr_tpu.ops.pallas_kernels import tpu_jit
 
     Lmax = l * max_depth
     hp = jax.lax.Precision.HIGHEST
 
-    @partial(jax.jit, static_argnames=())
+    @tpu_jit
     def init(key):
         Y0 = jax.random.normal(key, (n, l), dtype=jnp.float32)
         Q, _ = jnp.linalg.qr(Y0)
@@ -77,14 +78,14 @@ def _device_krylov(op, n, m, k, l, tol, max_depth, seed, verbose):
         G = jax.lax.dynamic_update_slice(G, C, (0, 0))
         return K, M, G, Y
 
-    @jax.jit
+    @tpu_jit
     def ritz(G, filled):
         colmask = jnp.arange(Lmax) < filled
         Gm = jnp.where(colmask[:, None] & colmask[None, :], G, 0.0)
         evals = jnp.linalg.eigvalsh(Gm)
         return jnp.sqrt(jnp.maximum(evals[::-1][:k], 0.0))
 
-    @jax.jit
+    @tpu_jit
     def depth_step(K, M, G, Y, filled):
         colmask = (jnp.arange(Lmax) < filled).astype(jnp.float32)
         Km = K * colmask
@@ -108,7 +109,7 @@ def _device_krylov(op, n, m, k, l, tol, max_depth, seed, verbose):
         M2 = jax.lax.dynamic_update_slice(M, B, (0, filled))
         return K2, M2, G2, Y2
 
-    @jax.jit
+    @tpu_jit
     def extract(K, M, G, filled):
         colmask = jnp.arange(Lmax) < filled
         Gm = jnp.where(colmask[:, None] & colmask[None, :], G, 0.0)

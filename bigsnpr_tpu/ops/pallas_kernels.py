@@ -29,6 +29,33 @@ TM = 256          # variant-tile rows
 TNB = 128         # byte-tile lanes (= 512 samples)
 TN = 4 * TNB
 
+SCOPED_VMEM_KIB = 65536
+
+
+def tpu_jit(fun=None, **jit_kwargs):
+    """jax.jit raising the TPU scoped-VMEM budget (plain jit on CPU).
+
+    XLA pins small pallas-call outputs (f32[2l, m]) into scoped VMEM;
+    at m~131K the default 16 MB budget overflows AT COMPILE TIME
+    (BENCH_r03/r04 tails: "exceeded scoped vmem limit by 1.30M").
+    v5e has 128 MB VMEM/core, so a 64 MB scoped budget is safe for
+    these kernels. CPU compiles reject TPU flags, so the option set is
+    picked per call by backend."""
+    if fun is None:
+        return partial(tpu_jit, **jit_kwargs)
+    cpu = jax.jit(fun, **jit_kwargs)
+    tpu = jax.jit(fun, compiler_options={
+        "xla_tpu_scoped_vmem_limit_kib": str(SCOPED_VMEM_KIB)},
+        **jit_kwargs)
+
+    def wrapper(*a, **k):
+        # inside an outer trace this inlines (outer jit's options
+        # govern); at top level the backend picks the option set
+        return (tpu if jax.default_backend() == "tpu" else cpu)(*a, **k)
+
+    wrapper.__wrapped__ = fun
+    return wrapper
+
 
 def sample_perm(n_pad: int, tnb: int = TNB) -> np.ndarray:
     """Permutation p with kernel-sample k == true-sample p[k].
@@ -359,16 +386,19 @@ def _pallas_prod_i8(packed, Zt, cs, interpret=False, tm=TM, tnb=TNB,
 # int8 MXU GEMM streaming the planes.
 
 
-@partial(jax.jit, static_argnames=("tnb", "nona"))
+@tpu_jit(static_argnames=("tnb", "nona"))
 def materialize_int8_planes(packed, tnb, nona=False):
     """(m, nb) packed -> (T, NA) int8 planes (m, 4*nb) in the kernels'
     bit-plane sample order (NA is None when nona). One decode pass."""
     m, nb = packed.shape
-    pb = packed.astype(jnp.int32).reshape(m, nb // tnb, 1, tnb)
+    # uint8 arithmetic throughout: an int32 cast of the full pack made
+    # the peak 4x the pack and OOMed HBM at the 537 MB bench shape
+    pb = packed.reshape(m, nb // tnb, 1, tnb)
+    one = jnp.uint8(1)
     T, NA = [], []
     for k in range(4):
-        b0 = (pb >> (2 * k)) & 1
-        b1 = (pb >> (2 * k + 1)) & 1
+        b0 = (pb >> (2 * k)) & one
+        b1 = (pb >> (2 * k + 1)) & one
         u = b0 & b1
         T.append((b1 + u).astype(jnp.int8))
         if not nona:
@@ -377,6 +407,31 @@ def materialize_int8_planes(packed, tnb, nona=False):
     if nona:
         return Tm, None
     return Tm, jnp.concatenate(NA, axis=2).reshape(m, nb * 4)
+
+
+def materialize_int8_planes_chunked(packed, tnb, nona=False,
+                                    chunk=16384):
+    """Row-chunked plane build with donated in-place updates: the
+    one-shot jit's peak is ~2x the 4-8x-pack output (concat copies) and
+    OOMed the shared chip's HBM at a 537 MB pack (round-4); this keeps
+    peak ≈ final + one chunk."""
+    m, nb = packed.shape
+    if m <= chunk:
+        return materialize_int8_planes(packed, tnb, nona)
+
+    upd = jax.jit(
+        lambda buf, part, i0: jax.lax.dynamic_update_slice(
+            buf, part, (i0, 0)), donate_argnums=(0,))
+    Tm = jnp.zeros((m, nb * 4), jnp.int8)
+    NAm = None if nona else jnp.zeros((m, nb * 4), jnp.int8)
+    for i0 in range(0, m, chunk):
+        i1 = min(i0 + chunk, m)
+        t, na = materialize_int8_planes(packed[i0:i1], tnb, nona)
+        i0j = jnp.int32(i0)
+        Tm = upd(Tm, t, i0j)
+        if not nona:
+            NAm = upd(NAm, na, i0j)
+    return Tm, NAm
 
 
 def _cprod_kernel_i8m(t_ref, q8_ref, out_ref):
@@ -529,7 +584,7 @@ def _cprod_kernel(pb_ref, q_ref, cs_ref, out_ref):
     out_ref[...] += part
 
 
-@partial(jax.jit, static_argnames=("interpret", "tm", "mxu", "tnb", "nona"))
+@tpu_jit(static_argnames=("interpret", "tm", "mxu", "tnb", "nona"))
 def pallas_cprod(packed, Qp, cs, interpret=False, tm=TM, mxu="highest",
                  tnb=TNB, nona=False, planes=None):
     """X̃ᵀ-product: (m, nb) packed, Qp (l, n_pad) permuted, cs (2+, m)
@@ -580,7 +635,7 @@ def _prod_kernel(pb_ref, z_ref, cs_ref, out_ref):
     out_ref[...] += part
 
 
-@partial(jax.jit, static_argnames=("interpret", "tm", "mxu", "tnb", "nona"))
+@tpu_jit(static_argnames=("interpret", "tm", "mxu", "tnb", "nona"))
 def pallas_prod(packed, Zt, cs, interpret=False, tm=TM, mxu="highest",
                 planes=None,
                 tnb=TNB, nona=False):
@@ -608,8 +663,8 @@ def pallas_prod(packed, Zt, cs, interpret=False, tm=TM, mxu="highest",
     )(packed, Zt, cs)
 
 
-@partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret", "mxu",
-                                   "tnb", "nona", "m_full"))
+@tpu_jit(static_argnames=("n_pad", "l_pad", "interpret", "mxu",
+                          "tnb", "nona", "m_full"))
 def _cprod_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret,
                mxu="highest", tnb=TNB, nona=False, m_full=None,
                planes=None):
@@ -627,8 +682,8 @@ def _cprod_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret,
     return out[:l][:, col_idx].T
 
 
-@partial(jax.jit, static_argnames=("l_pad", "interpret", "mxu", "tnb",
-                                   "nona", "m_full"))
+@tpu_jit(static_argnames=("l_pad", "interpret", "mxu", "tnb",
+                          "nona", "m_full"))
 def _prod_sub(packed, cs, U, row_pos, col_idx, l_pad, interpret,
               mxu="highest", tnb=TNB, nona=False, m_full=None,
               planes=None):
@@ -645,8 +700,8 @@ def _prod_sub(packed, cs, U, row_pos, col_idx, l_pad, interpret,
     return out[:l].T[row_pos]
 
 
-@partial(jax.jit, static_argnames=("n_pad", "l_pad", "interpret", "mxu",
-                                   "tnb", "nona", "m_full"))
+@tpu_jit(static_argnames=("n_pad", "l_pad", "interpret", "mxu",
+                          "tnb", "nona", "m_full"))
 def _power_sub(packed, cs, V, row_pos, col_idx, n_pad, l_pad, interpret,
                mxu="highest", tnb=TNB, nona=False, m_full=None,
                planes=None):
@@ -750,9 +805,9 @@ class PallasOperator:
         self.m_full = m if ind_col is None else None
         # int8m: at-rest materialized int8 planes (4x packed bytes, 8x
         # with NA) — zero per-pass decode; built once on device
-        self.planes = (materialize_int8_planes(self.packed, self.tnb,
-                                               self.nona)
-                       if self.mxu == "int8m" else None)
+        self.planes = (materialize_int8_planes_chunked(
+            self.packed, self.tnb, self.nona)
+            if self.mxu == "int8m" else None)
 
     @staticmethod
     def _as_2d(arr):

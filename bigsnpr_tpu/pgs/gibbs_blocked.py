@@ -244,6 +244,12 @@ def build_block_bands(corr, block_sizes, ind_corr=None, dtype=np.float32):
         start += sz
     dropped_r2 = max(total_sq - kept_sq, 0.0)
     kept_r2 = max(kept_sq - diag_sq, 0.0)
+    if dropped_r2 < 1e-9 * total_sq:
+        # summation-order float noise, not real boundary mass: total_sq
+        # and kept_sq sum the same entries in different orders (~1e-5
+        # absolute at 470M-nnz bands) — boundary-aligned blocks must
+        # report exactly 0.0
+        dropped_r2 = 0.0
 
     groups = {}
     for band, W, gstart in per_block:

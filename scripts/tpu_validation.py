@@ -81,7 +81,9 @@ def main(quick=False, sweep=False, parts=None):
            "pallas-split2": pk.PallasOperator(pack, center, scale,
                                               mxu="split2"),
            "pallas-int8": pk.PallasOperator(pack, center, scale,
-                                            mxu="int8")}
+                                            mxu="int8"),
+           "pallas-int8m": pk.PallasOperator(pack, center, scale,
+                                             mxu="int8m")}
     base = {}
     for name, op in (ops.items() if "power" in parts else ()):
         def step(Q, op=op):
@@ -103,13 +105,11 @@ def main(quick=False, sweep=False, parts=None):
 
     # 2. (TM, mxu) sweep (Pallas)
     if sweep and "sweep" in parts:
-        import functools
-
         op = ops["pallas"]
 
         # one outer jit per config: standalone pallas_cprod programs let
         # XLA pin the (2l, m) result in VMEM (scoped OOM at big m)
-        @functools.partial(jax.jit, static_argnames=("tm", "mxu"))
+        @pk.tpu_jit(static_argnames=("tm", "mxu"))
         def sweep_step(Q, tm, mxu):
             Qk = jnp.zeros((op.n_pad, l), jnp.float32).at[
                 op.row_pos].set(Q * 1e-3)
