@@ -49,8 +49,12 @@ def tpu_jit(fun=None, **jit_kwargs):
         **jit_kwargs)
 
     def wrapper(*a, **k):
-        # inside an outer trace this inlines (outer jit's options
-        # govern); at top level the backend picks the option set
+        # under an outer trace, compiler_options is rejected on nested
+        # jits — use the plain jit (it inlines; the OUTER jit's options
+        # govern). Tracer-typed args are the nesting signal.
+        if any(isinstance(x, jax.core.Tracer)
+               for x in jax.tree_util.tree_leaves((a, k))):
+            return cpu(*a, **k)
         return (tpu if jax.default_backend() == "tpu" else cpu)(*a, **k)
 
     wrapper.__wrapped__ = fun

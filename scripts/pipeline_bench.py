@@ -56,7 +56,10 @@ def main():
 
     import pandas as pd
 
-    pack0 = dataclasses.replace(pack0, map=pd.DataFrame({
+    pack0 = dataclasses.replace(pack0, fam=pd.DataFrame({
+        "family.ID": np.arange(n), "sample.ID": np.arange(n),
+        "paternal.ID": 0, "maternal.ID": 0, "sex": 1, "affection": -9,
+    }), map=pd.DataFrame({
         "chromosome": np.ones(m, np.int32),
         "marker.ID": [f"SNP{j}" for j in range(m)],
         "genetic.dist": 0.0,
