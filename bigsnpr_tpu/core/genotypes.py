@@ -43,6 +43,7 @@ class GenoPack:
     map: Optional[pd.DataFrame] = None
     _device_cache: object = field(default=None, repr=False, compare=False)
     _device_pad_cache: object = field(default=None, repr=False, compare=False)
+    _op_cache: object = field(default=None, repr=False, compare=False)
 
     @property
     def m(self) -> int:

@@ -59,15 +59,122 @@ def _device_krylov(op, n, m, k, l, tol, max_depth, seed, verbose):
     import jax
     import jax.numpy as jnp
 
+    Lmax = l * max_depth
+
+    # The jitted programs are cached PER OPERATOR: rebuilding the
+    # closures each call re-traces and — over the tunnel, whose
+    # server-side compiles the client disk cache cannot capture —
+    # recompiles (30-85 s per novel pallas program under server load,
+    # measured round-4). autoSVD's iterated randomSVD calls on one
+    # operator must pay that at most once.
+    cache = getattr(op, "_krylov_jits", None)
+    if cache is None or cache[0] != (n, m, k, l, Lmax):
+        cache = ((n, m, k, l, Lmax), _build_krylov_jits(op, n, m, l, Lmax))
+        try:
+            op._krylov_jits = cache
+        except AttributeError:
+            pass
+    init, depth_step, extract = cache[1]
+
+    key = jax.random.PRNGKey(seed)
+    K, M, G, Y = init(key)
+    filled = l
+    d_prev = np.zeros(k)
+    niter = 0
+    for it in range(max_depth):
+        niter = it + 1
+        d_now = _ritz_host(G, filled, k)
+        rel = np.max(np.abs(d_now - d_prev) / np.maximum(d_now, 1e-30))
+        if verbose:
+            print(f"  randomSVD[device] depth {niter}: rel {rel:.2e}")
+        if rel < tol or filled + l > Lmax or filled >= min(n, m):
+            break
+        d_prev = d_now
+        K, M, G, Y = depth_step(K, M, G, Y, jnp.asarray(filled, jnp.int32))
+        filled += l
+
+    Gh = np.asarray(G)[:filled, :filled].astype(np.float64)
+    evals, Wh = np.linalg.eigh(Gh)
+    order = np.argsort(evals)[::-1][:min(k, filled)]
+    d = np.pad(np.sqrt(np.maximum(evals[order], 0.0)),
+               (0, k - len(order)))
+    W = np.zeros((Lmax, k), np.float32)
+    W[:filled, :len(order)] = Wh[:, order]
+    u, v = extract(K, M, jnp.asarray(W), jnp.asarray(d, jnp.float32))
+    return (np.asarray(d, np.float64), np.asarray(u, np.float64),
+            np.asarray(v, np.float64), niter)
+
+
+def _cached_op(pack, ctor, c_f, s_f, ind_row, ind_col, cap=4):
+    """Reuse operators across snp_randomSVD calls on the same pack.
+
+    A new operator per call rebuilds the per-op Krylov jits — over the
+    tunnel that means recompiling the pallas programs (30-85 s each
+    under server load). Keyed by content (scaling + masks), FIFO-capped;
+    device memory stays shared through the pack's padded-device cache."""
+    import hashlib
+
+    h = hashlib.md5()
+    for a in (c_f, s_f):
+        h.update(np.ascontiguousarray(np.asarray(a, np.float64)).tobytes())
+    for idx in (ind_row, ind_col):
+        h.update(b"-" if idx is None else
+                 np.ascontiguousarray(np.asarray(idx, np.int64)).tobytes())
+    key = (ctor.__name__, h.hexdigest())
+    cache = pack._op_cache
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(pack, "_op_cache", cache)
+        except AttributeError:
+            return ctor(pack, c_f, s_f, ind_row=ind_row, ind_col=ind_col)
+    if key not in cache:
+        if len(cache) >= cap:
+            cache.pop(next(iter(cache)))
+        cache[key] = ctor(pack, c_f, s_f, ind_row=ind_row, ind_col=ind_col)
+    return cache[key]
+
+
+def _ritz_host(G, filled, k):
+    Gh = np.asarray(G)[:filled, :filled].astype(np.float64)
+    evals = np.linalg.eigvalsh(Gh)
+    d = np.sqrt(np.maximum(evals[::-1][:k], 0.0))
+    return np.pad(d, (0, k - len(d)))  # filled < k at shallow depth
+
+
+def _build_krylov_jits(op, n, m, l, Lmax):
+    import jax
+    import jax.numpy as jnp
+
     from bigsnpr_tpu.ops.pallas_kernels import tpu_jit
 
-    Lmax = l * max_depth
     hp = jax.lax.Precision.HIGHEST
+
+    # No jnp.linalg.{qr,eigh} inside the device programs: their XLA
+    # programs compile in MINUTES over the tunnel (measured 120 s init
+    # + 40 s first depth at 32768x8192, vs 60 ms/depth of actual
+    # compute, round-4) and the client-side cache cannot capture
+    # server-side compiles. Orthonormalization is CholQR2 (GEMMs + an
+    # l x l Cholesky, compiles in seconds, orthogonality ~1e-6 backed
+    # by the two re-orth passes); the tiny Ritz/extract eigensolves run
+    # on HOST from the fetched (Lmax, Lmax) Gram.
+
+    def _cholqr2(Y):
+        for _ in range(2):
+            Gs = jnp.dot(Y.T, Y, precision=hp)
+            # ridge keeps chol finite when directions have collapsed
+            # into the existing span; the norm-zeroing below drops them
+            eps = 1e-7 * jnp.trace(Gs) / Gs.shape[0] + 1e-30
+            R = jnp.linalg.cholesky(Gs + eps * jnp.eye(Gs.shape[0],
+                                                       dtype=Y.dtype))
+            Y = jax.lax.linalg.triangular_solve(
+                R, Y, left_side=False, lower=True, transpose_a=True)
+        return Y
 
     @tpu_jit
     def init(key):
         Y0 = jax.random.normal(key, (n, l), dtype=jnp.float32)
-        Q, _ = jnp.linalg.qr(Y0)
+        Q = _cholqr2(Y0)
         B, Y = op.power_dev(Q)
         K = jnp.zeros((n, Lmax), jnp.float32)
         M = jnp.zeros((m, Lmax), jnp.float32)
@@ -79,20 +186,13 @@ def _device_krylov(op, n, m, k, l, tol, max_depth, seed, verbose):
         return K, M, G, Y
 
     @tpu_jit
-    def ritz(G, filled):
-        colmask = jnp.arange(Lmax) < filled
-        Gm = jnp.where(colmask[:, None] & colmask[None, :], G, 0.0)
-        evals = jnp.linalg.eigvalsh(Gm)
-        return jnp.sqrt(jnp.maximum(evals[::-1][:k], 0.0))
-
-    @tpu_jit
     def depth_step(K, M, G, Y, filled):
         colmask = (jnp.arange(Lmax) < filled).astype(jnp.float32)
         Km = K * colmask
         for _ in range(2):
             Y = Y - jnp.dot(Km, jnp.dot(Km.T, Y, precision=hp),
                             precision=hp)
-        Q, _ = jnp.linalg.qr(Y)
+        Q = _cholqr2(Y)
         # drop directions lost to the existing span: one more re-orth,
         # then zero columns whose survived norm is negligible
         Q = Q - jnp.dot(Km, jnp.dot(Km.T, Q, precision=hp), precision=hp)
@@ -110,37 +210,12 @@ def _device_krylov(op, n, m, k, l, tol, max_depth, seed, verbose):
         return K2, M2, G2, Y2
 
     @tpu_jit
-    def extract(K, M, G, filled):
-        colmask = jnp.arange(Lmax) < filled
-        Gm = jnp.where(colmask[:, None] & colmask[None, :], G, 0.0)
-        evals, W = jnp.linalg.eigh(Gm)
-        order = jnp.argsort(evals)[::-1][:k]
-        d = jnp.sqrt(jnp.maximum(evals[order], 0.0))
-        W = W[:, order] * colmask[:, None]
+    def extract(K, M, W, d):
         u = jnp.dot(K, W, precision=hp)
         v = jnp.dot(M, W, precision=hp) / jnp.maximum(d, 1e-30)
-        return d, u, v
+        return u, v
 
-    key = jax.random.PRNGKey(seed)
-    K, M, G, Y = init(key)
-    filled = jnp.asarray(l, jnp.int32)
-    d_prev = np.zeros(k)
-    niter = 0
-    for it in range(max_depth):
-        niter = it + 1
-        d_now = np.asarray(ritz(G, filled))
-        rel = np.max(np.abs(d_now - d_prev) / np.maximum(d_now, 1e-30))
-        if verbose:
-            print(f"  randomSVD[device] depth {niter}: rel {rel:.2e}")
-        if rel < tol or int(filled) + l > Lmax or int(filled) >= min(n, m):
-            break
-        d_prev = d_now
-        K, M, G, Y = depth_step(K, M, G, Y, filled)
-        filled = filled + l
-
-    d, u, v = extract(K, M, G, filled)
-    return (np.asarray(d, np.float64), np.asarray(u, np.float64),
-            np.asarray(v, np.float64), niter)
+    return init, depth_step, extract
 
 
 @check_args()
@@ -206,13 +281,13 @@ def snp_randomSVD(
             if engine == "pallas" or (engine == "auto" and on_tpu):
                 from bigsnpr_tpu.ops.pallas_kernels import PallasOperator
 
-                op = PallasOperator(pack, c_f, s_f,
-                                    ind_row=ind_row, ind_col=ind_col)
+                op = _cached_op(pack, PallasOperator, c_f, s_f,
+                                ind_row, ind_col)
             else:
                 from bigsnpr_tpu.ops.matvec import XlaOperator
 
-                op = XlaOperator(pack, c_f, s_f,
-                                 ind_row=ind_row, ind_col=ind_col)
+                op = _cached_op(pack, XlaOperator, c_f, s_f,
+                                ind_row, ind_col)
             n, m = op.n, op.m
 
     if op is None:
