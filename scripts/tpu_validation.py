@@ -177,21 +177,26 @@ def _autosvd_section(quick):
     n, m = (512, 100_000) if quick else (2490, 1_700_000)
     rng = np.random.default_rng(1)
     t0 = time.perf_counter()
-    # LD-structured synthetic genotypes in blocks of correlated variants:
-    # latent AR(1) per sample drives neighboring variants
+    # LD-structured synthetic genotypes in groups of correlated
+    # variants. Byte-op generator: one gaussian PER GROUP thresholded
+    # into codes, then per-entry decorrelation by copying a shifted
+    # variant's genotype at rate 15% (uint16 mask) — full per-entry
+    # gaussians cost 4.2G f64 draws = ~35 min on this host (killed a
+    # round-4 run); this build is memory-bound instead (~2 min).
+    from scipy.stats import norm
+
     codes = np.empty((m, (n + 3) // 4 * 4), dtype=np.uint8)
-    blk = 2_000
     for b0 in range(0, m, 50_000):
         b1 = min(b0 + 50_000, m)
         mloc = b1 - b0
-        z = rng.standard_normal((mloc // 10 + 2, n))
+        z = rng.standard_normal((mloc // 10 + 2, n)).astype(np.float32)
         idx = (np.arange(mloc) // 10)
-        latent = 0.7 * z[idx] + 0.3 * rng.standard_normal((mloc, n))
-        p = rng.uniform(0.1, 0.5, (mloc, 1))
-        from scipy.stats import norm
-
-        c = ((latent > norm.ppf((1 - p) ** 2)).astype(np.uint8)
-             + (latent > norm.ppf(1 - p ** 2)))
+        p = rng.uniform(0.1, 0.5, (mloc, 1)).astype(np.float32)
+        base = z[idx]
+        c = ((base > norm.ppf((1 - p) ** 2)).astype(np.uint8)
+             + (base > norm.ppf(1 - p ** 2)))
+        mut = rng.integers(0, 1 << 16, (mloc, n), dtype=np.uint16) < 9830
+        c = np.where(mut, np.roll(c, 7, axis=0), c)
         codes[b0:b1, :n] = np.array([0, 2, 3], np.uint8)[c]
         codes[b0:b1, n:] = 1
     pack = GenoPack(packed=up.np_pack_codes(codes[:, :]), n=n,
