@@ -13,10 +13,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
+import jax.numpy as jnp
 import numpy as np
+
 from bigsnpr_tpu.utils.assertions import check_args
 
 from bigsnpr_tpu.ops.matvec import snp_prodVec, snp_cprodVec
+from bigsnpr_tpu.ops.pallas_kernels import tpu_jit
 from bigsnpr_tpu.ops.stats import bed_scaleBinom
 
 
@@ -61,23 +65,19 @@ def _device_krylov(op, n, m, k, l, tol, max_depth, seed, verbose):
 
     Lmax = l * max_depth
 
-    # The jitted programs are cached PER OPERATOR: rebuilding the
-    # closures each call re-traces and — over the tunnel, whose
-    # server-side compiles the client disk cache cannot capture —
-    # recompiles (30-85 s per novel pallas program under server load,
-    # measured round-4). autoSVD's iterated randomSVD calls on one
-    # operator must pay that at most once.
-    cache = getattr(op, "_krylov_jits", None)
-    if cache is None or cache[0] != (n, m, k, l, Lmax):
-        cache = ((n, m, k, l, Lmax), _build_krylov_jits(op, n, m, l, Lmax))
-        try:
-            op._krylov_jits = cache
-        except AttributeError:
-            pass
-    init, depth_step, extract = cache[1]
-
-    key = jax.random.PRNGKey(seed)
-    K, M, G, Y = init(key)
+    # The loop is a host-driven chain of SMALL top-level device
+    # programs (projection, CholQR2, Gram update) around the ONE big
+    # shared program (op.power_dev = the cached _power_sub). Inlining
+    # the power step into monolithic init/depth_step programs made each
+    # operator's first call a novel big server-side compile — at the
+    # 2490 x 1.7M autoSVD geometry one such compile ran >30 min and
+    # broke the tunnel pipe (round-4). All state stays device-resident
+    # between calls; only dispatch latency is paid per depth.
+    rng_h = np.random.default_rng(seed)
+    Y = jnp.asarray(rng_h.standard_normal((n, l)).astype(np.float32))
+    Q = _cholqr2_j(Y)
+    B, Y = op.power_dev(Q)
+    K, M, G = _krylov_init(Q, B, m, Lmax)
     filled = l
     d_prev = np.zeros(k)
     niter = 0
@@ -90,7 +90,10 @@ def _device_krylov(op, n, m, k, l, tol, max_depth, seed, verbose):
         if rel < tol or filled + l > Lmax or filled >= min(n, m):
             break
         d_prev = d_now
-        K, M, G, Y = depth_step(K, M, G, Y, jnp.asarray(filled, jnp.int32))
+        fj = jnp.asarray(filled, jnp.int32)
+        Q = _krylov_newdirs(K, Y, fj)
+        B, Y = op.power_dev(Q)
+        K, M, G = _krylov_update(K, M, G, Q, B, fj)
         filled += l
 
     Gh = np.asarray(G)[:filled, :filled].astype(np.float64)
@@ -100,7 +103,7 @@ def _device_krylov(op, n, m, k, l, tol, max_depth, seed, verbose):
                (0, k - len(order)))
     W = np.zeros((Lmax, k), np.float32)
     W[:filled, :len(order)] = Wh[:, order]
-    u, v = extract(K, M, jnp.asarray(W), jnp.asarray(d, jnp.float32))
+    u, v = _krylov_extract(K, M, jnp.asarray(W), jnp.asarray(d, jnp.float32))
     return (np.asarray(d, np.float64), np.asarray(u, np.float64),
             np.asarray(v, np.float64), niter)
 
@@ -142,80 +145,85 @@ def _ritz_host(G, filled, k):
     return np.pad(d, (0, k - len(d)))  # filled < k at shallow depth
 
 
-def _build_krylov_jits(op, n, m, l, Lmax):
-    import jax
-    import jax.numpy as jnp
+# --- small device programs of the Krylov loop (module-level jits,
+# cached across calls/operators by argument shapes). No
+# jnp.linalg.{qr,eigh} inside: their XLA programs compiled in MINUTES
+# over the tunnel (120 s + 40 s at 32768x8192, vs 60 ms/depth of
+# compute). Orthonormalization is CholQR2 (GEMMs + an l x l Cholesky,
+# ridge-guarded, backed by the re-orth passes); the tiny Ritz/extract
+# eigensolves run on HOST from the fetched (Lmax, Lmax) Gram.
 
-    from bigsnpr_tpu.ops.pallas_kernels import tpu_jit
+_HP = jax.lax.Precision.HIGHEST
 
-    hp = jax.lax.Precision.HIGHEST
 
-    # No jnp.linalg.{qr,eigh} inside the device programs: their XLA
-    # programs compile in MINUTES over the tunnel (measured 120 s init
-    # + 40 s first depth at 32768x8192, vs 60 ms/depth of actual
-    # compute, round-4) and the client-side cache cannot capture
-    # server-side compiles. Orthonormalization is CholQR2 (GEMMs + an
-    # l x l Cholesky, compiles in seconds, orthogonality ~1e-6 backed
-    # by the two re-orth passes); the tiny Ritz/extract eigensolves run
-    # on HOST from the fetched (Lmax, Lmax) Gram.
+def _cholqr2_body(Y):
+    for _ in range(2):
+        Gs = jnp.dot(Y.T, Y, precision=_HP)
+        # ridge keeps chol finite when directions have collapsed into
+        # the existing span; callers' norm-zeroing drops them
+        eps = 1e-7 * jnp.trace(Gs) / Gs.shape[0] + 1e-30
+        R = jnp.linalg.cholesky(Gs + eps * jnp.eye(Gs.shape[0],
+                                                   dtype=Y.dtype))
+        Y = jax.lax.linalg.triangular_solve(
+            R, Y, left_side=False, lower=True, transpose_a=True)
+    return Y
 
-    def _cholqr2(Y):
-        for _ in range(2):
-            Gs = jnp.dot(Y.T, Y, precision=hp)
-            # ridge keeps chol finite when directions have collapsed
-            # into the existing span; the norm-zeroing below drops them
-            eps = 1e-7 * jnp.trace(Gs) / Gs.shape[0] + 1e-30
-            R = jnp.linalg.cholesky(Gs + eps * jnp.eye(Gs.shape[0],
-                                                       dtype=Y.dtype))
-            Y = jax.lax.linalg.triangular_solve(
-                R, Y, left_side=False, lower=True, transpose_a=True)
-        return Y
 
-    @tpu_jit
-    def init(key):
-        Y0 = jax.random.normal(key, (n, l), dtype=jnp.float32)
-        Q = _cholqr2(Y0)
-        B, Y = op.power_dev(Q)
-        K = jnp.zeros((n, Lmax), jnp.float32)
-        M = jnp.zeros((m, Lmax), jnp.float32)
-        G = jnp.zeros((Lmax, Lmax), jnp.float32)
-        K = jax.lax.dynamic_update_slice(K, Q, (0, 0))
-        M = jax.lax.dynamic_update_slice(M, B, (0, 0))
-        C = jnp.dot(B.T, B, precision=hp)
-        G = jax.lax.dynamic_update_slice(G, C, (0, 0))
-        return K, M, G, Y
+@tpu_jit
+def _cholqr2_j(Y):
+    return _cholqr2_body(Y)
 
-    @tpu_jit
-    def depth_step(K, M, G, Y, filled):
-        colmask = (jnp.arange(Lmax) < filled).astype(jnp.float32)
-        Km = K * colmask
-        for _ in range(2):
-            Y = Y - jnp.dot(Km, jnp.dot(Km.T, Y, precision=hp),
-                            precision=hp)
-        Q = _cholqr2(Y)
-        # drop directions lost to the existing span: one more re-orth,
-        # then zero columns whose survived norm is negligible
-        Q = Q - jnp.dot(Km, jnp.dot(Km.T, Q, precision=hp), precision=hp)
-        norms = jnp.linalg.norm(Q, axis=0)
-        Q = jnp.where(norms > 1e-4, Q / jnp.maximum(norms, 1e-30), 0.0)
-        B, Y2 = op.power_dev(Q)
-        K2 = jax.lax.dynamic_update_slice(K, Q, (0, filled))
-        Mm = M * colmask
-        C = jnp.dot(Mm.T, B, precision=hp)              # (Lmax, l)
-        corner = jnp.dot(B.T, B, precision=hp)          # (l, l)
-        C = jax.lax.dynamic_update_slice(C, corner, (filled, 0))
-        G2 = jax.lax.dynamic_update_slice(G, C, (0, filled))
-        G2 = jax.lax.dynamic_update_slice(G2, C.T, (filled, 0))
-        M2 = jax.lax.dynamic_update_slice(M, B, (0, filled))
-        return K2, M2, G2, Y2
 
-    @tpu_jit
-    def extract(K, M, W, d):
-        u = jnp.dot(K, W, precision=hp)
-        v = jnp.dot(M, W, precision=hp) / jnp.maximum(d, 1e-30)
-        return u, v
+@tpu_jit(static_argnames=("m", "Lmax"))
+def _krylov_init(Q, B, m, Lmax):
+    n = Q.shape[0]
+    K = jnp.zeros((n, Lmax), jnp.float32)
+    M = jnp.zeros((m, Lmax), jnp.float32)
+    G = jnp.zeros((Lmax, Lmax), jnp.float32)
+    K = jax.lax.dynamic_update_slice(K, Q, (0, 0))
+    M = jax.lax.dynamic_update_slice(M, B, (0, 0))
+    C = jnp.dot(B.T, B, precision=_HP)
+    G = jax.lax.dynamic_update_slice(G, C, (0, 0))
+    return K, M, G
 
-    return init, depth_step, extract
+
+@tpu_jit
+def _krylov_newdirs(K, Y, filled):
+    """Project Y out of span(K[:, :filled]), CholQR2, re-project, and
+    zero directions whose survived norm is negligible."""
+    Lmax = K.shape[1]
+    colmask = (jnp.arange(Lmax) < filled).astype(jnp.float32)
+    Km = K * colmask
+    for _ in range(2):
+        Y = Y - jnp.dot(Km, jnp.dot(Km.T, Y, precision=_HP),
+                        precision=_HP)
+    Q = _cholqr2_body(Y)
+    Q = Q - jnp.dot(Km, jnp.dot(Km.T, Q, precision=_HP), precision=_HP)
+    norms = jnp.linalg.norm(Q, axis=0)
+    Q = jnp.where(norms > 1e-4, Q / jnp.maximum(norms, 1e-30), 0.0)
+    return Q
+
+
+@tpu_jit
+def _krylov_update(K, M, G, Q, B, filled):
+    Lmax = K.shape[1]
+    colmask = (jnp.arange(Lmax) < filled).astype(jnp.float32)
+    K2 = jax.lax.dynamic_update_slice(K, Q, (0, filled))
+    Mm = M * colmask
+    C = jnp.dot(Mm.T, B, precision=_HP)              # (Lmax, l)
+    corner = jnp.dot(B.T, B, precision=_HP)          # (l, l)
+    C = jax.lax.dynamic_update_slice(C, corner, (filled, 0))
+    G2 = jax.lax.dynamic_update_slice(G, C, (0, filled))
+    G2 = jax.lax.dynamic_update_slice(G2, C.T, (filled, 0))
+    M2 = jax.lax.dynamic_update_slice(M, B, (0, filled))
+    return K2, M2, G2
+
+
+@tpu_jit
+def _krylov_extract(K, M, W, d):
+    u = jnp.dot(K, W, precision=_HP)
+    v = jnp.dot(M, W, precision=_HP) / jnp.maximum(d, 1e-30)
+    return u, v
 
 
 @check_args()
