@@ -57,8 +57,9 @@ def _device_krylov(op, n, m, k, l, tol, max_depth, seed, verbose):
     the Krylov basis K, the cprod blocks M, and the Gram matrix G are
     preallocated on device; one jitted step per depth does
     re-orthogonalization, QR, the fused power step, and the Gram update.
-    Only the k Ritz values cross the link per depth (for the convergence
-    check); u/v are formed on device after convergence.
+    Per depth only the filled (filled, filled) corner of the Gram
+    crosses the link (sliced on device) for the host Ritz/convergence
+    check; u/v are formed on device after convergence.
     """
     import jax
     import jax.numpy as jnp
@@ -114,10 +115,17 @@ def _cached_op(pack, ctor, c_f, s_f, ind_row, ind_col, cap=4):
     A new operator per call rebuilds the per-op Krylov jits — over the
     tunnel that means recompiling the pallas programs (30-85 s each
     under server load). Keyed by content (scaling + masks), FIFO-capped;
-    device memory stays shared through the pack's padded-device cache."""
+    device memory stays shared through the pack's padded-device cache.
+
+    Keys include id(pack.packed): a replace()'d pack inheriting
+    _op_cache, or an in-place mutation swapping the packed array, must
+    not serve operators built on stale genotype bytes (in-place edits
+    of the SAME array remain the caller's responsibility — GenoPack is
+    treated as immutable, like the _device_cache caveat)."""
     import hashlib
 
     h = hashlib.md5()
+    h.update(str(id(pack.packed)).encode())
     for a in (c_f, s_f):
         h.update(np.ascontiguousarray(np.asarray(a, np.float64)).tobytes())
     for idx in (ind_row, ind_col):
@@ -139,7 +147,9 @@ def _cached_op(pack, ctor, c_f, s_f, ind_row, ind_col, cap=4):
 
 
 def _ritz_host(G, filled, k):
-    Gh = np.asarray(G)[:filled, :filled].astype(np.float64)
+    # slice the filled corner ON DEVICE before the fetch — the full
+    # (Lmax, Lmax) Gram is ~6.5 MB at Lmax=1280, the corner is filled^2
+    Gh = np.asarray(G[:filled, :filled]).astype(np.float64)
     evals = np.linalg.eigvalsh(Gh)
     d = np.sqrt(np.maximum(evals[::-1][:k], 0.0))
     return np.pad(d, (0, k - len(d)))  # filled < k at shallow depth

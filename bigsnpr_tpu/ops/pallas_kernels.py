@@ -32,6 +32,14 @@ TN = 4 * TNB
 SCOPED_VMEM_KIB = 65536
 
 
+def _trace_state_clean() -> bool:
+    try:
+        from jax._src import core as _core
+        return bool(_core.trace_state_clean())
+    except Exception:
+        return True
+
+
 def tpu_jit(fun=None, **jit_kwargs):
     """jax.jit raising the TPU scoped-VMEM budget (plain jit on CPU).
 
@@ -51,9 +59,10 @@ def tpu_jit(fun=None, **jit_kwargs):
     def wrapper(*a, **k):
         # under an outer trace, compiler_options is rejected on nested
         # jits — use the plain jit (it inlines; the OUTER jit's options
-        # govern). Tracer-typed args are the nesting signal.
-        if any(isinstance(x, jax.core.Tracer)
-               for x in jax.tree_util.tree_leaves((a, k))):
+        # govern). Ask the trace machinery directly: a call whose args
+        # are all concrete closure constants still nests if an outer
+        # trace is active (tracer-in-args missed that case).
+        if not _trace_state_clean():
             return cpu(*a, **k)
         return (tpu if jax.default_backend() == "tpu" else cpu)(*a, **k)
 

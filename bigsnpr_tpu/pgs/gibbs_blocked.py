@@ -209,11 +209,20 @@ def block_layout(block_sizes):
     return slot, gos, valid
 
 
-def build_block_bands(corr, block_sizes, ind_corr=None, dtype=np.float32):
+def build_block_bands(corr, block_sizes, ind_corr=None, dtype=np.float32,
+                      engine="coo"):
     """Per-block banded LD bucketed by (padded size, padded width).
 
     Returns a BlockBands. Each block keeps its own bandwidth; blocks are
-    grouped so only a handful of array shapes get compiled."""
+    grouped so only a handful of array shapes get compiled.
+
+    engine="coo" (default) builds the bands straight from the upper
+    COO triplets with O(nnz) vectorized passes — no symmetrize, no
+    per-block sparse slicing (the scipy path cost 340 s at 1M variants
+    / 470M nnz, the COO path seconds). engine="scipy" keeps the old
+    construction for parity testing."""
+    if engine == "coo":
+        return _build_block_bands_coo(corr, block_sizes, ind_corr, dtype)
     import scipy.sparse as sp
 
     sizes = np.asarray(block_sizes, dtype=np.int64)
@@ -266,6 +275,140 @@ def build_block_bands(corr, block_sizes, ind_corr=None, dtype=np.float32):
             sz = band.shape[0]
             bands[b, :sz, Wk - W:Wk + W + 1] = band
             gidx[b, :sz] = gstart + np.arange(sz)
+        buckets.append((bands, gidx))
+    return BlockBands(buckets, int(sizes.sum()),
+                      dropped_r2=dropped_r2, kept_r2=kept_r2)
+
+
+def _build_block_bands_coo(corr, block_sizes, ind_corr=None,
+                           dtype=np.float32):
+    """COO-direct band build: O(nnz) vectorized passes over the upper
+    triplets. Replaces symmetrize + per-block sparse slicing (340 s at
+    1M variants) with block ids from the CSC column order, one
+    segmented max (per-block widths), and ONE flat scatter into a
+    single arena holding every bucket (dropped cross-block entries are
+    routed to a sacrificial dump slot — no filtering pass). The whole
+    build runs at host memory bandwidth."""
+    sizes = np.asarray(block_sizes, dtype=np.int64)
+    m2 = corr.shape[0]
+    u = corr.upper.tocoo()          # CSC -> COO: column-sorted, i <= j
+    lo = np.asarray(u.row)
+    hi = np.asarray(u.col)
+    x = np.asarray(u.data)
+    del u
+    if lo.size and (lo > hi).any():  # tolerate non-upper storage
+        lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+
+    if ind_corr is not None:
+        ind_corr = np.asarray(ind_corr)
+        assert sizes.sum() == len(ind_corr)
+        if len(ind_corr) != m2 or (np.diff(ind_corr) != 1).any():
+            posmap = np.full(m2, -1, dtype=lo.dtype)
+            posmap[ind_corr] = np.arange(len(ind_corr), dtype=lo.dtype)
+            lo = posmap[lo]
+            hi = posmap[hi]
+            keepm = (lo >= 0) & (hi >= 0)
+            lo, hi, x = lo[keepm], hi[keepm], x[keepm]
+            # a reordering subset can flip an upper entry to lower
+            lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+    else:
+        assert sizes.sum() == m2
+
+    nb = len(sizes)
+    starts = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    if lo.size == 0 or (np.diff(hi) >= 0).all():
+        # CSC order: hi ascending -> block ids by boundary search over
+        # nb values, expanded with one repeat (no 100M-wide searchsorted)
+        bounds_e = np.searchsorted(hi, starts)
+        bid = np.repeat(np.arange(nb, dtype=np.int32),
+                        np.diff(bounds_e))
+    else:                            # reordering subset scrambled hi: sort
+        order = np.argsort(hi, kind="stable")
+        lo, hi, x = lo[order], hi[order], x[order]
+        bounds_e = np.searchsorted(hi, starts)
+        bid = np.repeat(np.arange(nb, dtype=np.int32),
+                        np.diff(bounds_e))
+    inblk = lo >= starts[bid]       # same block iff lo past hi's start
+
+    # off-diagonal r^2 bookkeeping over the SYMMETRIC matrix (off-diag
+    # mass counted twice), matching the scipy path's semantics
+    w2 = np.square(x)
+    diagm = hi == lo
+    total2 = 2.0 * float(w2.sum())
+    diag_sq = float(w2[diagm].sum())
+    kept2 = 2.0 * float(w2[inblk].sum())
+    kept_diag = float(w2[inblk & diagm].sum())   # == diag_sq normally
+    total_sq = total2 - diag_sq
+    kept_sq = kept2 - kept_diag
+    dropped_r2 = max(total_sq - kept_sq, 0.0)
+    kept_r2 = max(kept_sq - kept_diag, 0.0)
+    del w2, diagm
+
+    off = hi - lo                    # index dtype (int32/int64 per scipy)
+
+    # per-block bandwidth: segmented max over the contiguous per-block
+    # entry ranges; dropped entries contribute 0
+    Wb_arr = np.zeros(nb, dtype=np.int64)
+    if off.size:
+        offm = np.where(inblk, off, 0)
+        cnt = np.diff(bounds_e)
+        segmax = np.maximum.reduceat(
+            offm, np.minimum(bounds_e[:-1], off.size - 1))
+        Wb_arr[cnt > 0] = segmax[cnt > 0]
+        del offm
+
+    groups = {}
+    for b in range(nb):
+        key = (_round_up(int(sizes[b])), _round_up(2 * int(Wb_arr[b]) + 1))
+        groups.setdefault(key, []).append(b)
+    keys_sorted = sorted(groups.items())
+
+    # one arena for all buckets + a trailing dump slot; per-block
+    # gather tables stay cache-resident (nb entries)
+    blk_base = np.empty(nb, dtype=np.int64)   # flat index of band[b, 0, Wk]
+    blk_wk = np.empty(nb, dtype=np.int64)     # row stride (stored width)
+    arena_off = []
+    total = 0
+    for (mbk, wk_key), blks in keys_sorted:
+        Wk = (wk_key - 1) // 2
+        wk = 2 * Wk + 1             # stored width is odd (center + W each way)
+        arena_off.append(total)
+        for b_loc, b in enumerate(blks):
+            blk_base[b] = total + (b_loc * mbk) * wk + Wk
+            blk_wk[b] = wk
+        total += len(blks) * mbk * wk
+    flat = np.zeros(total + 1, dtype=dtype)
+
+    if off.size:
+        x32 = x.astype(dtype, copy=False)
+        # band[b, j, Wk + d] = R[j, j+d]: entry (lo, hi) lands at row hi
+        # offset -off and mirrored at row lo offset +off (diagonal
+        # entries write the same slot twice — harmless)
+        stride = blk_wk[bid]
+        base = blk_base[bid]
+        base += (hi - starts[bid]) * stride
+        dump = np.int64(total)
+        np.subtract(base, off, where=inblk, out=base)
+        base[~inblk] = dump
+        flat[base] = x32
+        base += np.multiply(2 * off, inblk)  # mirror; dump slot unmoved...
+        base += (lo.astype(np.int64) - hi) * stride  # row hi -> row lo
+        base[~inblk] = dump
+        flat[base] = x32
+    flat[total] = 0.0
+
+    buckets = []
+    for k, ((mbk, wk_key), blks) in enumerate(keys_sorted):
+        Wk = (wk_key - 1) // 2
+        wk = 2 * Wk + 1
+        Bk = len(blks)
+        bands = flat[arena_off[k]:arena_off[k] + Bk * mbk * wk] \
+            .reshape(Bk, mbk, wk)
+        gidx = np.full((Bk, mbk), -1, dtype=np.int32)
+        for b_loc, b in enumerate(blks):
+            sz = int(sizes[b])
+            gidx[b_loc, :sz] = starts[b] + np.arange(sz)
         buckets.append((bands, gidx))
     return BlockBands(buckets, int(sizes.sum()),
                       dropped_r2=dropped_r2, kept_r2=kept_r2)
