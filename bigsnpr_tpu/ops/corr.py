@@ -59,17 +59,37 @@ class SparseLD:
     def col_sums_sq(self, ind_sub=None) -> np.ndarray:
         """Per-column sum of squared entries over the full symmetric matrix,
         diagonal counted once (reference src/sp-colsumssq-sym.cpp:9-32,
-        src/ld-scores-sfbm.cpp:10-69)."""
-        s = self.sym()
+        src/ld-scores-sfbm.cpp:10-69).
+
+        Computed straight from the upper COO triplets with bincount —
+        no symmetrize / squared-matrix materialization (those cost
+        minutes at 1M variants / 470M nnz)."""
+        u = self.upper.tocoo()
+        i = np.asarray(u.row)
+        j = np.asarray(u.col)
+        w2 = np.square(np.asarray(u.data, dtype=np.float64))
+        m = self.shape[0]
         if ind_sub is not None:
             ind_sub = np.asarray(ind_sub)
-            if len(ind_sub) == s.shape[0] and np.array_equal(
-                    ind_sub, np.arange(s.shape[0])):
-                pass  # full range: no subsetting needed
-            else:
-                # row-then-col slicing (np.ix_ blows up on large sparse)
-                s = s[ind_sub][:, ind_sub]
-        return np.asarray(s.power(2).sum(axis=0)).ravel()
+            if len(ind_sub) == m and np.array_equal(ind_sub, np.arange(m)):
+                ind_sub = None      # full range: no subsetting needed
+        if ind_sub is not None:
+            posmap = np.full(m, -1, dtype=np.int64)
+            posmap[ind_sub] = np.arange(len(ind_sub))
+            i = posmap[i]
+            j = posmap[j]
+            keep = (i >= 0) & (j >= 0)
+            i, j, w2 = i[keep], j[keep], w2[keep]
+            m = len(ind_sub)
+        # column c of the symmetric matrix sums upper entries ending at
+        # c plus mirrored entries starting at c; the diagonal appears in
+        # both bincounts, subtract it once
+        out = np.bincount(j, w2, minlength=m) + np.bincount(i, w2,
+                                                            minlength=m)
+        diag = i == j
+        if diag.any():
+            out -= np.bincount(i[diag], w2[diag], minlength=m)
+        return out
 
     def subset(self, ind) -> "SparseLD":
         ind = np.asarray(ind)

@@ -1071,11 +1071,18 @@ def gibbs_auto_blocked_multi(bands, gidx, beta_hat, n_vec, log_var, p_inits,
                              alpha_bounds, mean_ld, burn_in, num_iter, m,
                              report_step=None, use_mle=True,
                              no_jump_sign=False, use_pallas=False,
-                             bcs=None, meta=None):
+                             bcs=None, meta=None, chain_mesh=None):
     """Chain-batched ldpred2_gibbs_auto: p_inits (NC,), keys (NC,) PRNG
     keys. All NC chains advance through one program per sweep (the
     reference's 30-process chain grid, R/LDpred2.R:233-236, collapsed
-    onto one chip). Returns a dict of (NC, ...) arrays."""
+    onto one chip). Returns a dict of (NC, ...) arrays.
+
+    chain_mesh: optional 1-D Mesh with axis 'c' — the chain axis of all
+    state is sharded over its devices (chains are embarrassingly
+    parallel; per-chain reductions stay on-shard, so GSPMD inserts no
+    sweep-loop collectives and results agree with the single-device
+    chain-batched program to f32 round-off — fusion-level rounding only,
+    identical sweep trajectories). Uses the XLA sweep twin."""
     NC = p_inits.shape[0]
     num_iter_tot = burn_in + num_iter
     if report_step is None:
@@ -1094,6 +1101,22 @@ def gibbs_auto_blocked_multi(bands, gidx, beta_hat, n_vec, log_var, p_inits,
         jnp.zeros((NC,), bool), jnp.asarray(0, jnp.int32),
     )
     burn_in_d = jnp.asarray(burn_in, jnp.int32)
+    if chain_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert not use_pallas, "chain sharding uses the XLA sweep twin"
+        assert NC % chain_mesh.devices.size == 0, (
+            f"{NC} chains must divide the {chain_mesh.devices.size}-device "
+            "chain mesh")
+
+        def _shard(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == NC:
+                spec = P("c", *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(chain_mesh, spec))
+            return x
+
+        state = jax.tree_util.tree_map(_shard, state)
+        keys = jax.device_put(keys, NamedSharding(chain_mesh, P("c", None)))
     args = (beta_hat, n_vec, log_var, keys, shrink_corr, p_bounds,
             alpha_bounds, mean_ld)
     kw = dict(m=m, report_step=report_step, num_reports=num_reports,

@@ -59,7 +59,8 @@ def snp_ldpred2_inf(corr: SparseLD, df_beta, h2: float) -> np.ndarray:
     return beta_inf * scale
 
 
-def _blocked_setup(corr, blocks, ind_corr, dt, shard=False, mc=False):
+def _blocked_setup(corr, blocks, ind_corr, dt, shard=False, mc=False,
+                   force_xla=False):
     """Build the bucketed block bands for the blocked samplers.
 
     blocks: array of block sizes, or "auto" to derive them — exact
@@ -95,7 +96,8 @@ def _blocked_setup(corr, blocks, ind_corr, dt, shard=False, mc=False):
     # Pallas sweep kernel: TPU + f32 + unsharded (the XLA scan twin
     # serves CPU / f64 / GSPMD-sharded runs)
     use_pallas = (jax.default_backend() == "tpu"
-                  and np.dtype(dt) == np.float32 and not shard)
+                  and np.dtype(dt) == np.float32 and not shard
+                  and not force_xla)
     if mc and use_pallas:
         bands, bcs, gidx, meta = bb.device_put_mc()
     else:
@@ -204,6 +206,7 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
                      alpha_bounds=(-1.5, 0.5), ind_corr=None,
                      seed: int = 1, blocks=None,
                      shard_blocks: bool = False,
+                     shard_chains: bool = False,
                      dtype="float32") -> list[dict]:
     """Auto model (reference snp_ldpred2_auto, R/LDpred2.R:203-286).
 
@@ -213,6 +216,11 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
 
     dtype: "float32" (TPU-native) or "float64" (the reference's double
     accumulation — runs in a scoped jax x64 context).
+
+    shard_chains: partition the (embarrassingly parallel) chain axis of
+    the chain-batched sampler over all available devices (requires
+    blocks=, len(vec_p_init) divisible by the device count; agrees with
+    the single-device chain-batched run to f32 round-off).
     """
     assert h2_init > 0
     beta_hat, N, scale = _df_beta_arrays(df_beta)
@@ -224,14 +232,16 @@ def snp_ldpred2_auto(corr: SparseLD, df_beta, h2_init: float,
             corr, beta_hat, N, sd, log_var, h2_init, vec_p_init, burn_in,
             num_iter, sparse, report_step, allow_jump_sign, shrink_corr,
             use_MLE, p_bounds, alpha_bounds, ind_corr, seed, blocks,
-            shard_blocks, dt)
+            shard_blocks, dt, shard_chains=shard_chains)
 
 
 def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
                        burn_in, num_iter, sparse, report_step,
                        allow_jump_sign, shrink_corr, use_MLE, p_bounds,
                        alpha_bounds, ind_corr, seed, blocks, shard_blocks,
-                       dt):
+                       dt, shard_chains=False):
+    assert not (shard_chains and blocks is None), \
+        "shard_chains requires blocks= (the chain-batched sampler)"
     if blocks is None:
         band_sub, ind_sub, bh, nv, W, m2 = _prep_sampler(
             corr, beta_hat, N, ind_corr, dtype=dt)
@@ -240,7 +250,24 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
         ind_corr_np = np.arange(corr.shape[0])
     else:
         ind_corr_np = np.asarray(ind_corr)
-    mean_ld = float(np.mean(ld_scores_sfbm(corr, ind_sub=ind_corr_np)))
+    # the host ld-score pass is O(nnz) (~0.7 s at 100K per call) —
+    # cache per (corr, subset) so repeated auto calls pay it once
+    import hashlib
+
+    ml_key = hashlib.md5(
+        np.ascontiguousarray(ind_corr_np).tobytes()).hexdigest()
+    cache = getattr(corr, "_mean_ld_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(corr, "_mean_ld_cache", cache)
+        except AttributeError:
+            pass
+    if ml_key in cache:
+        mean_ld = cache[ml_key]
+    else:
+        mean_ld = float(np.mean(ld_scores_sfbm(corr, ind_sub=ind_corr_np)))
+        cache[ml_key] = mean_ld
 
     if report_step is None:
         report_step = num_iter + 1
@@ -250,8 +277,16 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
     keys = jax.random.split(key, len(vec_p_init))
 
     if blocks is not None:
+        chain_mesh = None
+        if shard_chains:
+            from jax.sharding import Mesh
+
+            assert not shard_blocks, \
+                "shard_chains and shard_blocks are mutually exclusive"
+            chain_mesh = Mesh(np.asarray(jax.devices()), axis_names=("c",))
         gb, bands, gidx, bb, use_pallas, bcs, meta = _blocked_setup(
-            corr, blocks, ind_corr, dt, shard=shard_blocks, mc=True)
+            corr, blocks, ind_corr, dt, shard=shard_blocks, mc=True,
+            force_xla=shard_chains)  # the XLA twin serves GSPMD runs
         m = bb.m
         assert m == len(beta_hat)
         # all chains advance together through one chain-batched sweep
@@ -270,7 +305,8 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
             burn_in=burn_in, num_iter=num_iter, m=m,
             report_step=report_step, use_mle=use_MLE,
             no_jump_sign=not allow_jump_sign,
-            use_pallas=use_pallas, bcs=bcs, meta=meta)
+            use_pallas=use_pallas, bcs=bcs, meta=meta,
+            chain_mesh=chain_mesh)
         # one host transfer per key (per-chain np.asarray(v[c]) would be
         # 7 x n_chains separate tunnel round-trips)
         outs_np = {k2: np.asarray(v, dtype=np.float64)
