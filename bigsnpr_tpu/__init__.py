@@ -88,4 +88,7 @@ from bigsnpr_tpu.utils.external import (
     download_beagle,
 )
 
+# TPU-specific extension (no reference twin): deliberate pre-compilation
+from bigsnpr_tpu.warmup import warmup, warmup_svd, warmup_gibbs
+
 __version__ = "0.1.0"

@@ -104,6 +104,42 @@ def main():
               f"({warm/base:.2f}x single-chain wall, "
               f"{nfin}/{nc} chains finite)", flush=True)
 
+    if "--hyper" in sys.argv:
+        # hyper-stage isolation (round-4 verdict #4): same NC through
+        # (a) grid cells (sweep kernel only, no hyper stage),
+        # (b) auto w/o MLE (adds beta-draw + h2/paths bookkeeping),
+        # (c) full auto (adds Poisson bootstrap + MLE alpha profile).
+        nc = max(chain_counts)
+        p_inits = list(np.geomspace(1e-4, 0.2, nc))
+        gridN = {"p": np.asarray(p_inits), "h2": np.full(nc, 0.3),
+                 "sparse": np.zeros(nc, bool)}
+        variants = [
+            ("grid x%d (no hyper)" % nc,
+             lambda: snp_ldpred2_grid(corr, df, gridN, burn_in=burn,
+                                      num_iter=it, blocks=bb)),
+            ("auto x%d use_MLE=False" % nc,
+             lambda: snp_ldpred2_auto(corr, df, h2_init=0.3,
+                                      vec_p_init=p_inits, burn_in=burn,
+                                      num_iter=it, use_MLE=False,
+                                      blocks=bb)),
+            ("auto x%d use_MLE=True" % nc,
+             lambda: snp_ldpred2_auto(corr, df, h2_init=0.3,
+                                      vec_p_init=p_inits, burn_in=burn,
+                                      num_iter=it, use_MLE=True,
+                                      blocks=bb)),
+        ]
+        for name, fn in variants:
+            fn()                                     # compile
+            warms = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                warms.append(time.perf_counter() - t0)
+            w = min(warms)
+            print(f"[hyper] {name}: best {w:.2f}s = {w/sweeps*1e3:.0f} "
+                  f"ms/sweep ({sweeps*m*nc/w/1e3:.0f} v-s/ms)", flush=True)
+        return
+
     # 21-cell grid (the reference's grid_param geometry: 7 p x 3 h2)
     ps = np.geomspace(1e-4, 0.3, 7)
     grid = {"p": np.tile(ps, 3),

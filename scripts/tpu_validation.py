@@ -177,34 +177,15 @@ def _autosvd_section(quick):
     n, m = (512, 100_000) if quick else (2490, 1_700_000)
     rng = np.random.default_rng(1)
     t0 = time.perf_counter()
-    # LD-structured synthetic genotypes in groups of correlated
-    # variants. Byte-op generator: one gaussian PER GROUP thresholded
-    # into codes, then per-entry decorrelation by copying a shifted
-    # variant's genotype at rate 15% (uint16 mask) — full per-entry
-    # gaussians cost 4.2G f64 draws = ~35 min on this host (killed a
-    # round-4 run); this build is memory-bound instead (~2 min).
-    from scipy.stats import norm
-
-    codes = np.empty((m, (n + 3) // 4 * 4), dtype=np.uint8)
-    for b0 in range(0, m, 50_000):
-        b1 = min(b0 + 50_000, m)
-        mloc = b1 - b0
-        z = rng.standard_normal((mloc // 10 + 2, n)).astype(np.float32)
-        idx = (np.arange(mloc) // 10)
-        p = rng.uniform(0.1, 0.5, (mloc, 1)).astype(np.float32)
-        base = z[idx]
-        c = ((base > norm.ppf((1 - p) ** 2)).astype(np.uint8)
-             + (base > norm.ppf(1 - p ** 2)))
-        mut = rng.integers(0, 1 << 16, (mloc, n), dtype=np.uint16) < 9830
-        c = np.where(mut, np.roll(c, 7, axis=0), c)
-        codes[b0:b1, :n] = np.array([0, 2, 3], np.uint8)[c]
-        codes[b0:b1, n:] = 1
-    pack = GenoPack(packed=up.np_pack_codes(codes[:, :]), n=n,
+    # LD-structured synthetic genotypes (byte-op generator, shared with
+    # _ld_structured_pack — full per-entry gaussians cost 4.2G f64
+    # draws = ~35 min on this host; this build is memory-bound ~2 min)
+    pack0 = _ld_structured_pack(n, m, rng)
+    pack = GenoPack(packed=pack0.packed, n=n,
                     map=pd.DataFrame({
                         "chromosome": 1 + np.arange(m) // (m // 22 + 1),
                         "physical.pos": (np.arange(m) % (m // 22 + 1)) * 1000,
                     }))
-    del codes
     print(f"synthetic pack built in {time.perf_counter()-t0:.0f}s "
           f"({pack.packed.nbytes/1e6:.0f} MB packed)", flush=True)
 
@@ -262,24 +243,31 @@ def _gibbs_section(quick, rng):
           f"{dt_blk2:.2f}s ({20*mg/dt_blk2/1e3:.0f} steps/ms)")
 
 
-def _ld_structured_pack(n, m, rng, group=10, mix=0.7):
-    """Synthetic 2-bit pack with real local LD: a latent AR-ish factor
-    drives each `group` of neighboring variants (shared generator with
-    the autoSVD section)."""
+def _ld_structured_pack(n, m, rng, group=10, mut=0.15):
+    """Synthetic 2-bit pack with real local LD: one gaussian per `group`
+    of neighboring variants thresholded into codes, then per-entry
+    decorrelation by copying a shifted variant's genotype at rate `mut`
+    (uint16 mask). Byte-op build — full per-entry gaussians cost ~20 min
+    at 50Kx100K on this host (round-5 postmortem of the first pipeline
+    run); this build is memory-bound (shared scheme with the autoSVD
+    section)."""
     from bigsnpr_tpu.core.genotypes import GenoPack
     from bigsnpr_tpu.core import unpack as up
     from scipy.stats import norm
 
+    thr = int(mut * (1 << 16))
     codes = np.empty((m, (n + 3) // 4 * 4), dtype=np.uint8)
     for b0 in range(0, m, 50_000):
         b1 = min(b0 + 50_000, m)
         mloc = b1 - b0
-        z = rng.standard_normal((mloc // group + 2, n))
+        z = rng.standard_normal((mloc // group + 2, n)).astype(np.float32)
         idx = np.arange(mloc) // group
-        latent = mix * z[idx] + (1 - mix) * rng.standard_normal((mloc, n))
-        p = rng.uniform(0.1, 0.5, (mloc, 1))
-        c = ((latent > norm.ppf((1 - p) ** 2)).astype(np.uint8)
-             + (latent > norm.ppf(1 - p ** 2)))
+        p = rng.uniform(0.1, 0.5, (mloc, 1)).astype(np.float32)
+        base = z[idx]
+        c = ((base > norm.ppf((1 - p) ** 2)).astype(np.uint8)
+             + (base > norm.ppf(1 - p ** 2)))
+        mask = rng.integers(0, 1 << 16, (mloc, n), dtype=np.uint16) < thr
+        c = np.where(mask, np.roll(c, 7, axis=0), c)
         codes[b0:b1, :n] = np.array([0, 2, 3], np.uint8)[c]
         codes[b0:b1, n:] = 1
     return GenoPack(packed=up.np_pack_codes(codes), n=n)
