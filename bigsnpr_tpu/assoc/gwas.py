@@ -23,37 +23,33 @@ from bigsnpr_tpu.core.unpack import unpack_dosage
 from bigsnpr_tpu.ops.blocks import pick_block, pad_rows
 
 
-@partial(jax.jit, static_argnames=("n", "block", "precision"))
-def _linreg_blocked(packed, yr, Q, n, block, precision):
-    """Per-variant slope/t-stat of y ~ x after projecting out Q (incl.
-    intercept). packed (m_pad, nb); yr = residualized y; Q (n, K) orthonormal.
+@partial(jax.jit, static_argnames=("n", "precision"))
+def _linreg_block_one(pb, yr, Q, n, precision):
+    """Per-variant slope/SE of y ~ x for ONE block of packed variants.
     NA dosages are mean-imputed per variant (matches big_univLinReg's
-    complete-data assumption on imputed FBMs)."""
-    m_pad, nb = packed.shape
-    blocks = packed.reshape(m_pad // block, block, nb)
+    complete-data assumption on imputed FBMs). One shared program,
+    dispatched host-side per block — a lax.map over blocks lowers to an
+    XLA while-loop, which the tunnel-attached TPU runtime serializes
+    (~0.5 s/iteration; this was 118 s of the first 50Kx100K pipeline
+    run, same pathology as the round-3 snp_cor chunk scan)."""
+    d, na = unpack_dosage(pb, n)                       # (block, n)
+    cnt = jnp.sum(~na, axis=1)
+    mean = jnp.sum(d, axis=1) / jnp.maximum(cnt, 1)
+    x = jnp.where(na, mean[:, None], d)                # mean-impute
     K = Q.shape[1]
-
-    def body(pb):
-        d, na = unpack_dosage(pb, n)                       # (block, n)
-        cnt = jnp.sum(~na, axis=1)
-        mean = jnp.sum(d, axis=1) / jnp.maximum(cnt, 1)
-        x = jnp.where(na, mean[:, None], d)                # mean-impute
-        # residualize against [1 | covar] via Q (Q includes intercept col)
-        xq = jnp.dot(x, Q, preferred_element_type=jnp.float32,
-                     precision=precision)                  # (block, K)
-        xr = x - jnp.dot(xq, Q.T, preferred_element_type=jnp.float32,
-                         precision=precision)
-        sxx = jnp.sum(xr * xr, axis=1)
-        sxy = jnp.dot(xr, yr, preferred_element_type=jnp.float32,
-                      precision=precision)
-        beta = sxy / sxx
-        df = n - K - 1
-        rss = jnp.sum(yr * yr) - beta * sxy
-        se = jnp.sqrt(rss / df / sxx)
-        return beta, se
-
-    beta, se = jax.lax.map(body, blocks)
-    return beta.reshape(-1), se.reshape(-1)
+    # residualize against [1 | covar] via Q (Q includes intercept col)
+    xq = jnp.dot(x, Q, preferred_element_type=jnp.float32,
+                 precision=precision)                  # (block, K)
+    xr = x - jnp.dot(xq, Q.T, preferred_element_type=jnp.float32,
+                     precision=precision)
+    sxx = jnp.sum(xr * xr, axis=1)
+    sxy = jnp.dot(xr, yr, preferred_element_type=jnp.float32,
+                  precision=precision)
+    beta = sxy / sxx
+    df = n - K - 1
+    rss = jnp.sum(yr * yr) - beta * sxy
+    se = jnp.sqrt(rss / df / sxx)
+    return jnp.stack([beta, se])
 
 
 def big_univLinReg(pack, y, covar=None, ind_row=None, block=None) -> pd.DataFrame:
@@ -71,22 +67,31 @@ def big_univLinReg(pack, y, covar=None, ind_row=None, block=None) -> pd.DataFram
     yr = y - Q @ (Q.T @ y)
 
     block = block or pick_block(n)
-    packed, _ = pad_rows(np.asarray(sub.packed), block)
-    beta, se = _linreg_blocked(
-        jnp.asarray(packed), jnp.asarray(yr, dtype=jnp.float32),
-        jnp.asarray(Q, dtype=jnp.float32), n, block, config.matmul_precision)
-    beta = np.asarray(beta, dtype=np.float64)[:m]
-    se = np.asarray(se, dtype=np.float64)[:m]
+    if hasattr(sub, "device_packed_padded"):
+        dev = sub.device_packed_padded(block)   # cached, one upload total
+    else:
+        packed, _ = pad_rows(np.asarray(sub.packed), block)
+        dev = jnp.asarray(packed)
+    m_pad = dev.shape[0]
+    yr_d = jnp.asarray(yr, dtype=jnp.float32)
+    Q_d = jnp.asarray(Q, dtype=jnp.float32)
+    # host-driven block loop: dispatches queue asynchronously, one
+    # device-side concat, ONE host fetch
+    outs = [_linreg_block_one(dev[b0:b0 + block], yr_d, Q_d, n,
+                              config.matmul_precision)
+            for b0 in range(0, m_pad, block)]
+    bs = np.asarray(jnp.concatenate(outs, axis=1), dtype=np.float64)
+    beta, se = bs[0, :m], bs[1, :m]
     score = beta / se
     return pd.DataFrame({"estim": beta, "std.err": se, "score": score})
 
 
-@partial(jax.jit, static_argnames=("n", "block", "niter"))
-def _logreg_blocked(packed, y, C, n, block, niter):
+@partial(jax.jit, static_argnames=("n", "niter"))
+def _logreg_block_one(pb, y, C, n, niter):
     """Per-variant logistic regression y ~ x + covariates by IRLS
-    (fixed niter Newton steps, vmapped over variants in a block)."""
-    m_pad, nb = packed.shape
-    blocks = packed.reshape(m_pad // block, block, nb)
+    (fixed niter Newton steps, vmapped over variants in one block).
+    Host-dispatched per block — see _linreg_block_one for why not
+    lax.map."""
     K = C.shape[1]
 
     def fit_one(x):
@@ -108,15 +113,12 @@ def _logreg_blocked(packed, y, C, n, block, niter):
         cov = jnp.linalg.inv(H)
         return b[-1], jnp.sqrt(cov[-1, -1])
 
-    def body(pb):
-        d, na = unpack_dosage(pb, n)
-        cnt = jnp.sum(~na, axis=1)
-        mean = jnp.sum(d, axis=1) / jnp.maximum(cnt, 1)
-        x = jnp.where(na, mean[:, None], d)
-        return jax.vmap(fit_one)(x)
-
-    beta, se = jax.lax.map(body, blocks)
-    return beta.reshape(-1), se.reshape(-1)
+    d, na = unpack_dosage(pb, n)
+    cnt = jnp.sum(~na, axis=1)
+    mean = jnp.sum(d, axis=1) / jnp.maximum(cnt, 1)
+    x = jnp.where(na, mean[:, None], d)
+    beta, se = jax.vmap(fit_one)(x)
+    return jnp.stack([beta, se])
 
 
 def big_univLogReg(pack, y01, covar=None, ind_row=None, block=None,
@@ -128,12 +130,18 @@ def big_univLogReg(pack, y01, covar=None, ind_row=None, block=None,
     C = np.ones((n, 1)) if covar is None else np.column_stack(
         [np.ones(n), np.asarray(covar)])
     block = block or max(8, min(1024, pick_block(n) // 8))
-    packed, _ = pad_rows(np.asarray(sub.packed), block)
-    beta, se = _logreg_blocked(
-        jnp.asarray(packed), jnp.asarray(y01, dtype=jnp.float32),
-        jnp.asarray(C, dtype=jnp.float32), n, block, niter)
-    beta = np.asarray(beta, dtype=np.float64)[:m]
-    se = np.asarray(se, dtype=np.float64)[:m]
+    if hasattr(sub, "device_packed_padded"):
+        dev = sub.device_packed_padded(block)
+    else:
+        packed, _ = pad_rows(np.asarray(sub.packed), block)
+        dev = jnp.asarray(packed)
+    m_pad = dev.shape[0]
+    y_d = jnp.asarray(y01, dtype=jnp.float32)
+    C_d = jnp.asarray(C, dtype=jnp.float32)
+    outs = [_logreg_block_one(dev[b0:b0 + block], y_d, C_d, n, niter)
+            for b0 in range(0, m_pad, block)]
+    bs = np.asarray(jnp.concatenate(outs, axis=1), dtype=np.float64)
+    beta, se = bs[0, :m], bs[1, :m]
     return pd.DataFrame({"estim": beta, "std.err": se, "score": beta / se})
 
 

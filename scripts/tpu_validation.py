@@ -430,6 +430,42 @@ def scale_run(m_scale=200_000, W=500, block=4096, sweeps=(100, 100),
             print(f"chain-QC kept {int(keep.sum())}/{chains}; "
                   f"cor(beta_auto, beta_true) = {r:.3f}")
 
+    if "--seqcheck" in sys.argv:
+        # estimate-quality attribution (round-4 verdict #6): same
+        # synthetic, 100K slice, blocked vs the reference-design
+        # SEQUENTIAL sampler (banded scan chain, no block cuts) — if
+        # the h2/p spreads agree, the flagship's spread is the
+        # sampler's own posterior spread, not block truncation
+        ms = min(100_000, m_scale)
+        ind = np.arange(ms)
+        corr_s = corr.subset(ind)
+        df_s = {"beta": df["beta"][:ms], "beta_se": df["beta_se"][:ms],
+                "n_eff": df["n_eff"][:ms]}
+        bt_s = beta_true[:ms]
+        ch_s = min(chains, 8)
+        p_in = list(np.geomspace(5e-4, 0.3, ch_s))
+        nbs = ms // block
+        blocks_s = np.r_[np.full(nbs, block), [ms - nbs * block]][
+            :nbs + (ms % block > 0)]
+        for label, kw in (("blocked", dict(blocks=blocks_s)),
+                          ("sequential", dict())):
+            t0 = time.perf_counter()
+            rs = snp_ldpred2_auto(corr_s, df_s, h2_init=0.3,
+                                  vec_p_init=p_in, burn_in=burn_in,
+                                  num_iter=num_iter, **kw)
+            dts = time.perf_counter() - t0
+            fin_s = [r for r in rs if np.isfinite(r["h2_est"])]
+            h2v = [r["h2_est"] for r in fin_s]
+            pv = [r["p_est"] for r in fin_s]
+            keep, b_auto = ldpred2_auto_chain_qc(rs)
+            rcor = (np.corrcoef(b_auto, bt_s)[0, 1]
+                    if np.isfinite(b_auto).all() else np.nan)
+            print(f"[seqcheck {label}] {ms} x {ch_s} chains: {dts:.0f}s, "
+                  f"{len(fin_s)}/{ch_s} finite, "
+                  f"h2 [{min(h2v):.3f}, {max(h2v):.3f}] "
+                  f"p [{min(pv):.4f}, {max(pv):.4f}] "
+                  f"cor(beta, true) = {rcor:.3f}", flush=True)
+
 
 def supervised(quick, sweep):
     """Each section in its own subprocess with a timeout: a wedged
