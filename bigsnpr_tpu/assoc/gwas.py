@@ -56,7 +56,13 @@ def big_univLinReg(pack, y, covar=None, ind_row=None, block=None) -> pd.DataFram
     """Per-SNP linear regression y ~ x + covariates.
 
     Returns DataFrame(estim, std.err, score) like bigstatsr's big_univLinReg.
-    """
+
+    TPU design: with mean-imputed NAs, per-SNP OLS after projecting out
+    [1 | covar] needs only X̃ᵀ[yr | Q] (one fused decode+GEMM cprod —
+    X̃ = x - mean via the operator's center) and the centered SSQ from
+    colstats; no per-block decode of the dense dosage ever hits HBM.
+    (The earlier per-block decode path streamed n·m f32 through HBM:
+    62 s at 50Kx100K vs seconds for the cprod.)"""
     sub = pack if ind_row is None else pack.subset(ind_row=np.asarray(ind_row))
     n, m = sub.n, sub.m
     y = np.asarray(y, dtype=np.float64)
@@ -65,23 +71,47 @@ def big_univLinReg(pack, y, covar=None, ind_row=None, block=None) -> pd.DataFram
         [np.ones(n), np.asarray(covar)])
     Q, _ = np.linalg.qr(C)
     yr = y - Q @ (Q.T @ y)
+    K = Q.shape[1]
 
-    block = block or pick_block(n)
-    if hasattr(sub, "device_packed_padded"):
-        dev = sub.device_packed_padded(block)   # cached, one upload total
+    if hasattr(sub, "packed") and hasattr(sub, "device_packed"):
+        from bigsnpr_tpu.ops.stats import snp_colstats
+
+        st = snp_colstats(sub)
+        nona = np.maximum(np.asarray(st["nona"], np.float64), 1.0)
+        mean = np.asarray(st["sumX"], np.float64) / nona
+        sxx_tot = np.asarray(st["denoX"], np.float64)  # sum (x - mean)^2
+
+        if jax.default_backend() == "tpu":
+            from bigsnpr_tpu.ops.pallas_kernels import PallasOperator as Op
+        else:
+            from bigsnpr_tpu.ops.matvec import XlaOperator as Op
+        from bigsnpr_tpu.linalg.randomsvd import _cached_op
+
+        op = _cached_op(sub, Op, mean, np.ones(m), None, None)
+        V = np.column_stack([yr, Q]).astype(np.float32)    # (n, K+1)
+        B = np.asarray(op.cprod(V), dtype=np.float64)      # (m, K+1)
+        b_yr = B[:, 0]
+        xq = B[:, 1:]                                      # Qᵀx̃ per SNP
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sxx_r = sxx_tot - np.sum(xq * xq, axis=1)
+            beta = b_yr / sxx_r
+            df = n - K - 1
+            rss = yr @ yr - beta * b_yr
+            se = np.sqrt(rss / df / sxx_r)
     else:
+        block = block or pick_block(n)
         packed, _ = pad_rows(np.asarray(sub.packed), block)
         dev = jnp.asarray(packed)
-    m_pad = dev.shape[0]
-    yr_d = jnp.asarray(yr, dtype=jnp.float32)
-    Q_d = jnp.asarray(Q, dtype=jnp.float32)
-    # host-driven block loop: dispatches queue asynchronously, one
-    # device-side concat, ONE host fetch
-    outs = [_linreg_block_one(dev[b0:b0 + block], yr_d, Q_d, n,
-                              config.matmul_precision)
-            for b0 in range(0, m_pad, block)]
-    bs = np.asarray(jnp.concatenate(outs, axis=1), dtype=np.float64)
-    beta, se = bs[0, :m], bs[1, :m]
+        m_pad = dev.shape[0]
+        yr_d = jnp.asarray(yr, dtype=jnp.float32)
+        Q_d = jnp.asarray(Q, dtype=jnp.float32)
+        # host-driven block loop: dispatches queue asynchronously, one
+        # device-side concat, ONE host fetch
+        outs = [_linreg_block_one(dev[b0:b0 + block], yr_d, Q_d, n,
+                                  config.matmul_precision)
+                for b0 in range(0, m_pad, block)]
+        bs = np.asarray(jnp.concatenate(outs, axis=1), dtype=np.float64)
+        beta, se = bs[0, :m], bs[1, :m]
     score = beta / se
     return pd.DataFrame({"estim": beta, "std.err": se, "score": score})
 

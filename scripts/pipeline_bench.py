@@ -77,9 +77,10 @@ def main():
         pack = bt.snp_readBed(bed)
     pos = np.arange(1, m + 1) * 1000
 
-    with t.stage("simulate trait + GWAS"):
+    with t.stage("simulate trait"):
         simu = bt.snp_simuPheno(pack, h2=0.2, M=m // 50, seed=2)
         y = simu["pheno"]
+    with t.stage("GWAS (big_univLinReg)"):
         gwas = big_univLinReg(pack, y)
         df_beta = {"beta": gwas["estim"].to_numpy(),
                    "beta_se": gwas["std.err"].to_numpy(),
@@ -95,11 +96,24 @@ def main():
         h2_est = bt.snp_ldsc2(corr, df_beta)["h2"]
     print(f"  LDSC h2 = {h2_est:.3f} (true 0.2)", flush=True)
 
-    with t.stage("LDpred2-auto multi-chain (blocks=auto)"):
+    from bigsnpr_tpu.pgs.gibbs_blocked import auto_blocks, build_block_bands
+
+    with t.stage("LD blocks (auto_blocks/ldsplit)"):
+        blocks = auto_blocks(corr)
+    print(f"  {len(blocks)} blocks, max {int(np.max(blocks))}", flush=True)
+    with t.stage("band build + device upload"):
+        bb = build_block_bands(corr, blocks)
+        if jax.default_backend() == "tpu":
+            bb.device_put_mc()
+        else:
+            bb.device_put()
+    print(f"  bands {bb.nbytes/1e9:.2f} GB, {len(bb.buckets)} buckets, "
+          f"dropped r2 {100*bb.dropped_r2_frac:.2f}%", flush=True)
+    with t.stage("LDpred2-auto multi-chain sampling"):
         auto = bt.snp_ldpred2_auto(
             corr, df_beta, h2_init=max(float(h2_est), 0.05),
             vec_p_init=list(np.geomspace(1e-4, 0.2, chains)),
-            burn_in=burn_in, num_iter=num_iter, blocks="auto")
+            burn_in=burn_in, num_iter=num_iter, blocks=bb)
     nfin = sum(np.isfinite(r["h2_est"]) for r in auto)
     print(f"  {nfin}/{chains} chains finite", flush=True)
 

@@ -45,6 +45,9 @@ def main():
     # LD-structured pack in row chunks (bounded build memory)
     from scipy.stats import norm
 
+    # byte-op LD generator (one gaussian per group + 20% per-entry
+    # mutation decorrelation) — the per-entry-gaussian mix cost ~10G f32
+    # draws at 500Kx20K (round-5; shared scheme with tpu_validation)
     packed = np.empty((m, (n + 3) // 4), np.uint8)
     group = 10
     for b0 in range(0, m, 2000):
@@ -52,11 +55,12 @@ def main():
         mloc = b1 - b0
         z = rng.standard_normal((mloc // group + 2, n)).astype(np.float32)
         idx = np.arange(mloc) // group
-        lat = 0.6 * z[idx] + 0.4 * rng.standard_normal(
-            (mloc, n)).astype(np.float32)
         p = rng.uniform(0.1, 0.5, (mloc, 1)).astype(np.float32)
-        c = ((lat > norm.ppf((1 - p) ** 2)).astype(np.uint8)
-             + (lat > norm.ppf(1 - p ** 2)))
+        base = z[idx]
+        c = ((base > norm.ppf((1 - p) ** 2)).astype(np.uint8)
+             + (base > norm.ppf(1 - p ** 2)))
+        mask = rng.integers(0, 1 << 16, (mloc, n), dtype=np.uint16) < 13107
+        c = np.where(mask, np.roll(c, 7, axis=0), c)
         codes = np.array([0, 2, 3], np.uint8)[c]
         pad = (-n) % 4
         if pad:

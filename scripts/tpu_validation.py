@@ -243,31 +243,47 @@ def _gibbs_section(quick, rng):
           f"{dt_blk2:.2f}s ({20*mg/dt_blk2/1e3:.0f} steps/ms)")
 
 
-def _ld_structured_pack(n, m, rng, group=10, mut=0.15):
-    """Synthetic 2-bit pack with real local LD: one gaussian per `group`
-    of neighboring variants thresholded into codes, then per-entry
-    decorrelation by copying a shifted variant's genotype at rate `mut`
-    (uint16 mask). Byte-op build — full per-entry gaussians cost ~20 min
-    at 50Kx100K on this host (round-5 postmortem of the first pipeline
-    run); this build is memory-bound (shared scheme with the autoSVD
-    section)."""
+def _ld_structured_pack(n, m, rng, group=10, mut=0.15, sgroup=200,
+                        sg_w=0.6):
+    """Synthetic 2-bit pack with realistic local LD, byte-op build.
+
+    Two latent scales drive each variant: a `group`-level gaussian
+    (tight LD, r~0.7 after mutation) plus a `sgroup`-level one (weak LD
+    r~0.2 across a ~200-variant neighborhood — real chromosomes have
+    banded LD, not tiny diagonal blocks), thresholded into codes; then
+    per-entry decorrelation by REDRAWING from the variant's own
+    marginal at rate `mut` (uint16 masks, independent across entries —
+    the earlier lag-7 copy variant added r^2~0.02 cross-group CHAINS
+    that blew blocks='auto' ldsplit to 10 min at 100K, round-5
+    postmortem). Exact LD cuts exist at every `sgroup` boundary, so
+    block derivation stays cheap. Full per-entry gaussians cost ~20 min
+    at 50Kx100K on this host — this build is memory-bound."""
     from bigsnpr_tpu.core.genotypes import GenoPack
     from bigsnpr_tpu.core import unpack as up
     from scipy.stats import norm
 
     thr = int(mut * (1 << 16))
+    a1 = np.float32(1.0 / np.sqrt(1.0 + sg_w**2))
+    a2 = np.float32(sg_w / np.sqrt(1.0 + sg_w**2))
+    chunk = 50_000 if 50_000 % sgroup == 0 else (50_000 // sgroup) * sgroup
     codes = np.empty((m, (n + 3) // 4 * 4), dtype=np.uint8)
-    for b0 in range(0, m, 50_000):
-        b1 = min(b0 + 50_000, m)
+    for b0 in range(0, m, chunk):
+        b1 = min(b0 + chunk, m)
         mloc = b1 - b0
         z = rng.standard_normal((mloc // group + 2, n)).astype(np.float32)
+        zs = rng.standard_normal((mloc // sgroup + 2, n)).astype(np.float32)
         idx = np.arange(mloc) // group
+        idxs = np.arange(mloc) // sgroup
         p = rng.uniform(0.1, 0.5, (mloc, 1)).astype(np.float32)
-        base = z[idx]
+        base = a1 * z[idx] + a2 * zs[idxs]
         c = ((base > norm.ppf((1 - p) ** 2)).astype(np.uint8)
              + (base > norm.ppf(1 - p ** 2)))
         mask = rng.integers(0, 1 << 16, (mloc, n), dtype=np.uint16) < thr
-        c = np.where(mask, np.roll(c, 7, axis=0), c)
+        r = rng.integers(0, 1 << 16, (mloc, n), dtype=np.uint16)
+        t1 = ((1 - p) ** 2 * (1 << 16)).astype(np.uint16)
+        t2 = ((1 - p ** 2) * (1 << 16)).astype(np.uint16)
+        c_rand = ((r > t1).astype(np.uint8) + (r > t2))
+        c = np.where(mask, c_rand, c)
         codes[b0:b1, :n] = np.array([0, 2, 3], np.uint8)[c]
         codes[b0:b1, n:] = 1
     return GenoPack(packed=up.np_pack_codes(codes), n=n)
