@@ -49,7 +49,7 @@ def _conflict_edges(sub, pos, size_scaled, thr_r2, block=512):
         thr_floor = float(np.sqrt(thr_r2))
         ei, ej = [], []
         for jj, ii, vals in _iter_kept_pairs_device(
-                data, n, m, left_start, THR, thr_floor, block):
+                data, n, m, left_start, THR, thr_floor, block, pack=sub):
             # strict > thr_r2 (compact keeps |r| > floor, same pairs up
             # to f32-exact equality); drop NaN pairs (no conflict)
             ok = np.isfinite(vals) & (vals.astype(np.float64) ** 2 > thr_r2)
@@ -61,8 +61,9 @@ def _conflict_edges(sub, pos, size_scaled, thr_r2, block=512):
                     np.array([], dtype=np.int64))
         return np.concatenate(ei), np.concatenate(ej)
     ei, ej = [], []
-    for t0, t1, b0, sums in _iter_band_blocks(data, n, m, left_start, block,
-                                              code256=code256):
+    for t0, t1, b0, sums in _iter_band_blocks(
+            data, n, m, left_start, block, code256=code256,
+            pack=None if is_dosage else sub):
         r, _ = _pair_r(sums)
         jj0 = np.arange(t0, t1)[:, None]
         jj = np.arange(b0, t1)[None, :]

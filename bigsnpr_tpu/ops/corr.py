@@ -316,14 +316,48 @@ def _na_pad_tail(packed: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def _iter_band_blocks(packed, n, m, left_start, block, code256=None):
+def _device_packed_nafixed(pack):
+    """Device copy of the packed bytes with NA-coded tail pad bits,
+    REUSING the pack's cached device copy (the tunnel uploads at
+    ~20 MB/s — round-5 measurement; re-shipping a GB-scale pack per
+    snp_cor/clumping call costs a minute). The tail fix is a tiny
+    device op on the last byte column; when n % 4 != 0 it makes one
+    extra on-device copy of the pack."""
+    cache = getattr(pack, "_device_pad_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(pack, "_device_pad_cache", cache)
+        except AttributeError:
+            cache = None
+    if cache is not None and "nafix" in cache:
+        return cache["nafix"]
+    dev = (pack.device_packed() if hasattr(pack, "device_packed")
+           else jnp.asarray(np.asarray(pack.packed)))
+    rem = pack.n % 4
+    if rem:
+        keep = (1 << (2 * rem)) - 1
+        na_fill = sum(0b01 << (2 * k) for k in range(rem, 4))
+        dev = dev.at[:, -1].set((dev[:, -1] & keep) | na_fill)
+    if cache is not None:
+        cache["nafix"] = dev
+    return dev
+
+
+def _iter_band_blocks(packed, n, m, left_start, block, code256=None,
+                      pack=None):
     """Yield (t0, t1, b0, sums) per target block; band cols [b0, t1).
 
     `packed` is (m, nb) 2-bit bytes, or (m, n) byte codes when a
-    `code256` decode table is given (DosagePack)."""
-    if code256 is None:
-        packed = _na_pad_tail(np.asarray(packed), n)
-    dev_packed = jnp.asarray(np.asarray(packed))
+    `code256` decode table is given (DosagePack). Pass `pack` (the
+    owning GenoPack) to reuse its cached device copy instead of
+    re-uploading through the ~20 MB/s tunnel."""
+    if pack is not None and code256 is None:
+        dev_packed = _device_packed_nafixed(pack)
+    else:
+        if code256 is None:
+            packed = _na_pad_tail(np.asarray(packed), n)
+        dev_packed = jnp.asarray(np.asarray(packed))
     table = (None if code256 is None
              else jnp.asarray(code256, dtype=jnp.float32))
     for t0 in range(0, m, block):
@@ -341,20 +375,27 @@ def _iter_band_blocks(packed, n, m, left_start, block, code256=None):
 
 
 def _iter_kept_pairs_device(packed, n, m, left_start, THR, thr_floor,
-                            block=512):
+                            block=512, pack=None):
     """Device-compacted kept pairs: yields (j, i, r) arrays per target
     block (j = target/right member, i = left neighbor). Only ~nnz values
     cross the host link — the at-scale path for snp_cor and clumping
     (the host-finalize path ships six dense f64 sum planes per block:
-    ~50 bytes/pair, which is tunnel-bound at millions of variants)."""
+    ~50 bytes/pair, which is tunnel-bound at millions of variants).
+    Pass `pack` to reuse its cached device copy (no re-upload)."""
     from collections import deque
 
-    packed_h = _na_pad_tail(np.asarray(packed), n)
     # HBM-resident when it fits comfortably; otherwise stream the
     # target+band byte rows per block (bands overlap, so streamed
     # upload is < 2x the matrix — the at-scale path).
-    resident = packed_h.nbytes <= 4 * 2**30
-    dev_packed = jnp.asarray(packed_h) if resident else None
+    resident = np.asarray(packed).nbytes <= 4 * 2**30
+    packed_h = None
+    dev_packed = None
+    if resident and pack is not None:
+        dev_packed = _device_packed_nafixed(pack)
+    else:
+        packed_h = _na_pad_tail(np.asarray(packed), n)
+        if resident:
+            dev_packed = jnp.asarray(packed_h)
     THR_d = jnp.asarray(np.nan_to_num(THR, nan=np.inf), dtype=jnp.float32)
     cap = 1 << 14
 
@@ -478,13 +519,14 @@ def snp_cor(
     if finalize == "device":
         for jj, ii, vals in _iter_kept_pairs_device(
                 np.asarray(sub.packed), n, m, left_start, THR, thr_floor,
-                block):
+                block, pack=sub):
             cols_j.append(jj)
             cols_i.append(ii)
             cols_x.append(vals.astype(np.float64))
     else:
-        for t0, t1, b0, sums in _iter_band_blocks(data, n, m, left_start,
-                                                  block, code256=code256):
+        for t0, t1, b0, sums in _iter_band_blocks(
+                data, n, m, left_start, block, code256=code256,
+                pack=None if is_dosage else sub):
             r, Np = _pair_r(sums)
             B, Wb = r.shape
             jj0 = np.arange(t0, t1)[:, None]    # target (column of output)

@@ -34,8 +34,9 @@ def snp_ld_scores(pack, ind_row=None, ind_col=None, size: float = 500,
     data = sub.codes if is_dosage else sub.packed
     code256 = sub.code256 if is_dosage else None
     res = np.ones(m)
-    for t0, t1, b0, sums in _iter_band_blocks(data, n, m, left_start, block,
-                                              code256=code256):
+    for t0, t1, b0, sums in _iter_band_blocks(
+            data, n, m, left_start, block, code256=code256,
+            pack=None if is_dosage else sub):
         r, _ = _pair_r(sums)
         jj0 = np.arange(t0, t1)[:, None]
         jj = np.arange(b0, t1)[None, :]

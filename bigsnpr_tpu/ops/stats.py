@@ -20,38 +20,21 @@ from bigsnpr_tpu.core.unpack import unpack_codes
 from bigsnpr_tpu.ops.blocks import pick_block, pad_rows
 
 
-@partial(jax.jit, static_argnames=("n", "block"))
-def _counts_blocked(packed, n, block):
-    m_pad, nb = packed.shape
-    blocks = packed.reshape(m_pad // block, block, nb)
-
-    def body(pb):
-        codes = unpack_codes(pb, n)  # (block, n) uint8
-        c0 = jnp.sum(codes == 3, axis=1)  # dosage 0
-        c1 = jnp.sum(codes == 2, axis=1)  # dosage 1
-        c2 = jnp.sum(codes == 0, axis=1)  # dosage 2
-        cna = jnp.sum(codes == 1, axis=1)
-        return jnp.stack([c0, c1, c2, cna], axis=0).astype(jnp.int32)
-
-    out = jax.lax.map(body, blocks)  # (nb_blocks, 4, block)
-    return out.transpose(1, 0, 2).reshape(4, -1)
-
-
-@partial(jax.jit, static_argnames=("n", "block"))
-def _counts_rows_blocked(packed, ind_row, n, block):
-    m_pad, nb = packed.shape
-    blocks = packed.reshape(m_pad // block, block, nb)
-
-    def body(pb):
-        codes = jnp.take(unpack_codes(pb, n), ind_row, axis=1)
-        c0 = jnp.sum(codes == 3, axis=1)
-        c1 = jnp.sum(codes == 2, axis=1)
-        c2 = jnp.sum(codes == 0, axis=1)
-        cna = jnp.sum(codes == 1, axis=1)
-        return jnp.stack([c0, c1, c2, cna], axis=0).astype(jnp.int32)
-
-    out = jax.lax.map(body, blocks)
-    return out.transpose(1, 0, 2).reshape(4, -1)
+@partial(jax.jit, static_argnames=("n",))
+def _counts_block_one(pb, ind_row, n):
+    """4-level histogram of one packed block. One shared program,
+    dispatched host-side per block — lax.map over blocks lowers to an
+    XLA while-loop, which the tunnel-attached TPU runtime serializes
+    (~0.5 s/iteration; cost snp_simuPheno 170 s at 50Kx100K through
+    colstats, round-5 postmortem — same pathology as big_univLinReg)."""
+    codes = unpack_codes(pb, n)  # (block, n) uint8
+    if ind_row is not None:
+        codes = jnp.take(codes, ind_row, axis=1)
+    c0 = jnp.sum(codes == 3, axis=1)  # dosage 0
+    c1 = jnp.sum(codes == 2, axis=1)  # dosage 1
+    c2 = jnp.sum(codes == 0, axis=1)  # dosage 2
+    cna = jnp.sum(codes == 1, axis=1)
+    return jnp.stack([c0, c1, c2, cna], axis=0).astype(jnp.int32)
 
 
 def snp_counts(pack, ind_row=None, block=None) -> np.ndarray:
@@ -66,12 +49,14 @@ def snp_counts(pack, ind_row=None, block=None) -> np.ndarray:
         padded = pack.device_packed_padded(block)  # uploaded once per pack
     else:
         padded = jnp.asarray(pad_rows(np.asarray(pack.packed), block)[0])
-    if ind_row is not None:
-        out = _counts_rows_blocked(
-            padded, jnp.asarray(np.asarray(ind_row), jnp.int32), n, block)
-    else:
-        out = _counts_blocked(padded, n, block)
-    return np.asarray(out)[:, :m]
+    ir = (None if ind_row is None
+          else jnp.asarray(np.asarray(ind_row), jnp.int32))
+    m_pad = padded.shape[0]
+    # host-driven block loop: dispatches queue asynchronously, one
+    # device concat, ONE host fetch
+    outs = [_counts_block_one(padded[b0:b0 + block], ir, n)
+            for b0 in range(0, m_pad, block)]
+    return np.asarray(jnp.concatenate(outs, axis=1))[:, :m]
 
 
 bed_counts = snp_counts

@@ -36,7 +36,8 @@ def _banded_r2(sub, pos, max_size, block=512):
     n, m = sub.n, sub.m
     left_start = _window_geometry(pos, max_size)
     ei, ej, r2 = [], [], []
-    for t0, t1, b0, sums in _iter_band_blocks(sub.packed, n, m, left_start, block):
+    for t0, t1, b0, sums in _iter_band_blocks(sub.packed, n, m, left_start,
+                                              block, pack=sub):
         r, _ = _pair_r(sums)
         jj0 = np.arange(t0, t1)[:, None]
         jj = np.arange(b0, t1)[None, :]

@@ -49,28 +49,31 @@ def main():
 
     from tpu_validation import _ld_structured_pack
 
-    rng = np.random.default_rng(7)
-    t0 = time.perf_counter()
-    pack0 = _ld_structured_pack(n, m, rng)
-    import dataclasses
+    bed = f"/tmp/pipeline_bench_{n}x{m}.bed"
+    if "--reuse" in sys.argv and os.path.exists(bed):
+        print(f"reusing {bed}", flush=True)
+    else:
+        rng = np.random.default_rng(7)
+        t0 = time.perf_counter()
+        pack0 = _ld_structured_pack(n, m, rng)
+        import dataclasses
 
-    import pandas as pd
+        import pandas as pd
 
-    pack0 = dataclasses.replace(pack0, fam=pd.DataFrame({
-        "family.ID": np.arange(n), "sample.ID": np.arange(n),
-        "paternal.ID": 0, "maternal.ID": 0, "sex": 1, "affection": -9,
-    }), map=pd.DataFrame({
-        "chromosome": np.ones(m, np.int32),
-        "marker.ID": [f"SNP{j}" for j in range(m)],
-        "genetic.dist": 0.0,
-        "physical.pos": np.arange(1, m + 1) * 1000,
-        "allele1": "A", "allele2": "C",
-    }))
-    bed = "/tmp/pipeline_bench.bed"
-    bt.snp_writeBed(pack0, bed)
-    print(f"synthetic cohort {n}x{m} built + written in "
-          f"{time.perf_counter()-t0:.0f}s "
-          f"({os.path.getsize(bed)/1e6:.0f} MB .bed)", flush=True)
+        pack0 = dataclasses.replace(pack0, fam=pd.DataFrame({
+            "family.ID": np.arange(n), "sample.ID": np.arange(n),
+            "paternal.ID": 0, "maternal.ID": 0, "sex": 1, "affection": -9,
+        }), map=pd.DataFrame({
+            "chromosome": np.ones(m, np.int32),
+            "marker.ID": [f"SNP{j}" for j in range(m)],
+            "genetic.dist": 0.0,
+            "physical.pos": np.arange(1, m + 1) * 1000,
+            "allele1": "A", "allele2": "C",
+        }))
+        bt.snp_writeBed(pack0, bed)
+        print(f"synthetic cohort {n}x{m} built + written in "
+              f"{time.perf_counter()-t0:.0f}s "
+              f"({os.path.getsize(bed)/1e6:.0f} MB .bed)", flush=True)
 
     t = StageTimer()
     with t.stage("bed ingest"):
@@ -130,9 +133,10 @@ def main():
     print(f"\npipeline @ {n}x{m}, {chains} chains x "
           f"{burn_in}+{num_iter} sweeps: {sum(t.times.values()):.0f}s total")
     print(t.report())
-    for f in (bed, bed[:-4] + ".bim", bed[:-4] + ".fam"):
-        if os.path.exists(f):
-            os.remove(f)
+    if "--reuse" not in sys.argv:
+        for f in (bed, bed[:-4] + ".bim", bed[:-4] + ".fam"):
+            if os.path.exists(f):
+                os.remove(f)
 
 
 if __name__ == "__main__":
