@@ -17,7 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")  # CPU proof: bounded memory + disk
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -72,38 +73,31 @@ def main():
           f"({packed.nbytes/1e9:.1f} GB packed, rss {rss_gb():.1f} GB)",
           flush=True)
 
-    # synthetic phenotype + GWAS on a training split
+    # synthetic phenotype + GWAS on a training split — both through the
+    # fused decode+GEMM device ops (host to_dosage decodes run at only
+    # ~8M entries/s/core: 30+ min of the first draft's wall at 500K)
     t0 = time.perf_counter()
     beta_true = rng.normal(0, 1, m) * (rng.uniform(size=m) < 0.02)
-    # chunked standardized scoring for the phenotype (no dense (n, m))
-    g = np.zeros(n, np.float32)
     from bigsnpr_tpu.ops.stats import snp_colstats
+    from bigsnpr_tpu.ops.matvec import snp_prodVec, snp_cprodVec
 
     st = snp_colstats(pack)
     nona = np.maximum(np.asarray(st["nona"], float), 1)
     ctr = np.asarray(st["sumX"]) / nona
     sc = np.sqrt(np.maximum(np.asarray(st["denoX"]) / nona, 1e-9))
 
-    def dosage_chunk(b0, b1, rows=None):
-        X = GenoPack(packed=packed[b0:b1], n=n).to_dosage()  # (n, mloc)
-        if rows is not None:
-            X = X[rows]
-        return np.nan_to_num((X - ctr[b0:b1]) / sc[b0:b1]).astype(np.float32)
-
-    for b0 in range(0, m, 2000):
-        b1 = min(b0 + 2000, m)
-        g += dosage_chunk(b0, b1) @ (beta_true[b0:b1].astype(np.float32))
+    g = np.asarray(snp_prodVec(pack, beta_true, center=ctr, scale=sc),
+                   np.float64)
     g = (g - g.mean()) / g.std()
     y = np.sqrt(0.3) * g + np.sqrt(0.7) * rng.standard_normal(n).astype(
         np.float32)
     train = rng.permutation(n)[:n // 2]
-    # GWAS z-scores on train (chunked)
+    # GWAS z on train: X-std[train]' yt == X-std' y_pad (zeros off-train)
     yt = y[train] - y[train].mean()
-    z = np.zeros(m)
-    for b0 in range(0, m, 2000):
-        b1 = min(b0 + 2000, m)
-        X = dosage_chunk(b0, b1, rows=train)
-        z[b0:b1] = (X.T @ yt) / (np.std(yt) * np.sqrt(len(train)))
+    y_pad = np.zeros(n, np.float64)
+    y_pad[train] = yt
+    z = np.asarray(snp_cprodVec(pack, y_pad, center=ctr, scale=sc),
+                   np.float64) / (np.std(yt) * np.sqrt(len(train)))
     from scipy import stats as ss
 
     pvals = 2 * ss.norm.sf(np.abs(z))
@@ -158,13 +152,7 @@ def main():
     t0 = time.perf_counter()
     test = np.setdiff1d(np.arange(n), train)
     coef = res["beta.G"]
-    prs = np.zeros(len(test), np.float32)
-    nz = np.nonzero(coef)[0]
-    for b0 in range(0, len(nz), 2000):
-        idx = nz[b0:b0 + 2000]
-        sub = pack.subset(ind_col=idx)
-        X = np.nan_to_num(sub.to_dosage()[test])
-        prs += X.astype(np.float32) @ coef[idx].astype(np.float32)
+    prs = np.asarray(snp_prodVec(pack, coef), np.float32)[test]
     r = np.corrcoef(prs, y[test])[0, 1]
     print(f"test-half scoring: {time.perf_counter()-t0:.0f}s; "
           f"cor(PRS, y) = {r:.3f} (h2=0.3 cap ~{np.sqrt(0.3):.2f}); "
