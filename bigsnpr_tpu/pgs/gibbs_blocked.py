@@ -573,13 +573,9 @@ def _sweeps_bucketed(bands, gidx, dp_pads, curr_beta, consts, u, z,
     use_pallas: run each bucket's sweep as the Pallas TPU kernel
     (gibbs_pallas) — same math, dp resident in VMEM."""
     bh, C2, C4, s1 = consts
-    nb_g = jnp.zeros(m, bands[0].dtype)
-    postp_g = jnp.zeros(m, bands[0].dtype)
-    beta_g = jnp.zeros(m, bands[0].dtype)
-    dps_g = jnp.zeros(m, bands[0].dtype)
-    causal_g = jnp.zeros(m, bool)
     gap = jnp.asarray(0.0, bands[0].dtype)
     h2_inc = jnp.asarray(0.0, bands[0].dtype)
+    flats = {"nb": [], "postp": [], "beta": [], "dps": [], "causal": []}
     dp2 = []
     for k, (bk, gk) in enumerate(zip(bands, gidx)):
         Wk = (bk.shape[1] - 8) // 2      # center offset CK (see device_put)
@@ -608,13 +604,26 @@ def _sweeps_bucketed(bands, gidx, dp_pads, curr_beta, consts, u, z,
                 _scatter_b(u, gk, 2.0), _scatter_b(z, gk), Wk)
             gapk, causalk, h2k, postpk, betak, dpsk = aux
         dp2.append(dpk)
-        nb_g = _gather_set(nb_g, nbk, gk)
-        postp_g = _gather_set(postp_g, postpk, gk)
-        beta_g = _gather_set(beta_g, betak, gk)
-        dps_g = _gather_set(dps_g, dpsk, gk)
-        causal_g = _gather_set(causal_g, causalk, gk)
+        flats["nb"].append(nbk.reshape(-1))
+        flats["postp"].append(postpk.reshape(-1))
+        flats["beta"].append(betak.reshape(-1))
+        flats["dps"].append(dpsk.reshape(-1))
+        flats["causal"].append(causalk.reshape(-1))
         gap = gap + gapk
         h2_inc = h2_inc + h2k
+    # slot -> global via one inverse-permutation gather per array (TPU
+    # scatters dominated the sweep wall; see _sweeps_bucketed_mc)
+    idx_all = jnp.concatenate([gk.reshape(-1) for gk in gidx])
+    safe = jnp.where(idx_all >= 0, idx_all, m)
+    pos = jnp.zeros((m + 1,), jnp.int32).at[safe].set(
+        jnp.arange(idx_all.shape[0], dtype=jnp.int32), mode="drop")[:m]
+    take = (lambda name: jnp.concatenate(flats[name])[pos]
+            if len(flats[name]) > 1 else flats[name][0][pos])
+    nb_g = take("nb")
+    postp_g = take("postp")
+    beta_g = take("beta")
+    dps_g = take("dps")
+    causal_g = take("causal")
     return tuple(dp2), nb_g, (gap, causal_g, h2_inc, postp_g, beta_g, dps_g)
 
 
@@ -659,17 +668,12 @@ def _sweeps_bucketed_mc(bands, gidx, dp_pads, curr_beta, consts, u, z,
     bh, C2, C4, s1 = consts
     NC = curr_beta.shape[0]
     dt = bands[0].dtype
-    nb_g = jnp.zeros((NC, m), dt)
-    postp_g = jnp.zeros((NC, m), dt)
-    beta_g = jnp.zeros((NC, m), dt)
-    dps_g = jnp.zeros((NC, m), dt)
-    causal_g = jnp.zeros((NC, m), bool)
     gap = jnp.zeros((NC,), dt)
     h2_inc = jnp.zeros((NC,), dt)
     scat = jax.vmap(_scatter_b, in_axes=(0, None))
     scat1 = jax.vmap(lambda v, g: _scatter_b(v, g, 1.0), in_axes=(0, None))
     scat2 = jax.vmap(lambda v, g: _scatter_b(v, g, 2.0), in_axes=(0, None))
-    gath = jax.vmap(_gather_set, in_axes=(0, 0, None))
+    flats = {"nb": [], "postp": [], "beta": [], "dps": [], "causal": []}
     dp2 = []
     for k, (bk, gk) in enumerate(zip(bands, gidx)):
         # center column: ck in the v3 layout, (wk8-8)//2 in device_put's
@@ -762,14 +766,31 @@ def _sweeps_bucketed_mc(bands, gidx, dp_pads, curr_beta, consts, u, z,
                 shrink_corr, no_jump_sign, scat2(u, gk), scat(z, gk), Wk)
             gapk, causalk, h2k, postpk, betak, dpsk = aux
         dp2.append(dpk)
-        nb_g = gath(nb_g, nbk, gk)
-        postp_g = gath(postp_g, postpk, gk)
-        beta_g = gath(beta_g, betak, gk)
-        dps_g = gath(dps_g, dpsk, gk)
-        causal_g = gath(causal_g, causalk, gk)
+        flats["nb"].append(nbk.reshape(NC, -1))
+        flats["postp"].append(postpk.reshape(NC, -1))
+        flats["beta"].append(betak.reshape(NC, -1))
+        flats["dps"].append(dpsk.reshape(NC, -1))
+        flats["causal"].append(causalk.reshape(NC, -1))
         gap = gap + gapk
         h2_inc = h2_inc + h2k
-    # barrier: returning the raw scatter results from the per-sweep jit
+    # slot -> global via ONE inverse-permutation GATHER per array instead
+    # of five per-chain scatters per bucket: TPU scatter ran ~65 ms/sweep
+    # at 30 x 131K slots and was the entire auto-vs-grid batched gap
+    # (round-5 on-chip isolation: grid 56 / auto-noMLE 121 ms/sweep);
+    # pos costs one m-sized scatter, the five (NC, m) takes are
+    # vectorized loads
+    idx_all = jnp.concatenate([gk.reshape(-1) for gk in gidx])
+    safe = jnp.where(idx_all >= 0, idx_all, m)
+    pos = jnp.zeros((m + 1,), jnp.int32).at[safe].set(
+        jnp.arange(idx_all.shape[0], dtype=jnp.int32), mode="drop")[:m]
+    take = (lambda name: jnp.concatenate(flats[name], axis=1)[:, pos]
+            if len(flats[name]) > 1 else flats[name][0][:, pos])
+    nb_g = take("nb")
+    postp_g = take("postp")
+    beta_g = take("beta")
+    dps_g = take("dps")
+    causal_g = take("causal")
+    # barrier: returning the raw gather results from the per-sweep jit
     # triggers a pathological XLA rewrite on the tunnel runtime (measured
     # 925 ms vs 14 ms per NC=1 sweep, round-4); the barrier pins them as
     # ordinary materialized outputs
@@ -1447,13 +1468,18 @@ def lassosum_cd_blocked(bands, gidx, beta_hat, lam, delta_plus_one,
         _, _, k, done, _ = state
         return (~done) & (k < maxiter)
 
+    idx_all = jnp.concatenate([gk.reshape(-1) for gk in gidx])
+    safe_idx = jnp.where(idx_all >= 0, idx_all, m)
+    pos = jnp.zeros((m + 1,), jnp.int32).at[safe_idx].set(
+        jnp.arange(idx_all.shape[0], dtype=jnp.int32), mode="drop")[:m]
+
     def body(state):
         dp_pads, curr_beta, k, done, diverged = state
-        nb_g = jnp.zeros(m, dt)
         gap = jnp.asarray(0.0, dt)
         df = 0
         maxshift = jnp.asarray(0.0, dt)
         dp2 = []
+        nbs = []
         for i, (bk, gk) in enumerate(zip(bands, gidx)):
             Wk = (bk.shape[1] - 8) // 2  # center offset CK
             dpk, nbk, gapk, dfk, msk = sweep_bucket(
@@ -1461,10 +1487,13 @@ def lassosum_cd_blocked(bands, gidx, beta_hat, lam, delta_plus_one,
                 _scatter_b(beta_hat, gk), _scatter_b(lam, gk, 1.0),
                 _scatter_b(delta_plus_one, gk, 1.0), Wk)
             dp2.append(dpk)
-            nb_g = _gather_set(nb_g, nbk, gk)
+            nbs.append(nbk.reshape(-1))
             gap = gap + gapk
             df = df + dfk
             maxshift = jnp.maximum(maxshift, msk)
+        # slot -> global via inverse-permutation gather (TPU scatters
+        # dominated the sweep wall; see _sweeps_bucketed_mc)
+        nb_g = (jnp.concatenate(nbs) if len(nbs) > 1 else nbs[0])[pos]
         div2 = gap > gap0
         done2 = (maxshift <= tol) | (df > dfmax) | div2
         return tuple(dp2), nb_g, k + 1, done2, div2

@@ -308,8 +308,15 @@ def _ldpred2_auto_impl(corr, beta_hat, N, sd, log_var, h2_init, vec_p_init,
             use_pallas=use_pallas, bcs=bcs, meta=meta,
             chain_mesh=chain_mesh)
         # one host transfer per key (per-chain np.asarray(v[c]) would be
-        # 7 x n_chains separate tunnel round-trips)
-        outs_np = {k2: np.asarray(v, dtype=np.float64)
+        # 7 x n_chains separate tunnel round-trips); sample_beta is
+        # all-zeros when no reports were requested — synthesize it
+        # host-side instead of pulling (NC, 1, m) through the ~30 MB/s
+        # downlink (the fetch, not the sweeps, dominated short runs —
+        # round-5 bisection)
+        no_reports = report_step > num_iter
+        outs_np = {k2: (np.zeros(v.shape, np.float64)
+                        if k2 == "sample_beta" and no_reports
+                        else np.asarray(v, dtype=np.float64))
                    for k2, v in outs.items()}
         results = []
         for c in range(len(vec_p_init)):
