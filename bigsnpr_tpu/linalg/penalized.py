@@ -117,7 +117,7 @@ class SpRegModel:
 
 def big_spReg(X, y, family=None, alphas=(1.0, 0.01, 0.0001), K=10,
               nlambda=200, lambda_min_ratio=1e-4, n_abort=10, seed=1,
-              covar=None) -> SpRegModel:
+              covar=None, tol=None, maxit=None) -> SpRegModel:
     """CMSA elastic-net (big_spLogReg/big_spLinReg equivalent).
 
     covar columns, if given, are appended unpenalized... (penalized here;
@@ -151,7 +151,9 @@ def big_spReg(X, y, family=None, alphas=(1.0, 0.01, 0.0001), K=10,
         from bigsnpr_tpu import native as native_mod
     except Exception:  # noqa: BLE001 — fall back to python CD
         native_mod = None
-    tol, maxit = ((1e-6, 50) if family == "binomial" else (1e-7, 200))
+    tol_d, maxit_d = ((1e-6, 50) if family == "binomial" else (1e-7, 200))
+    tol = tol_d if tol is None else float(tol)
+    maxit = maxit_d if maxit is None else int(maxit)
 
     def fit_fold(Xtr, ytr, lambdas, alpha, Xva, yva):
         if native_mod is not None:
@@ -161,7 +163,44 @@ def big_spReg(X, y, family=None, alphas=(1.0, 0.01, 0.0001), K=10,
                 return fit
         return (_cd_binomial_path if family == "binomial"
                 else _cd_gaussian_path)(
-            Xtr, ytr, lambdas, alpha, Xva, yva, n_abort=n_abort)
+            Xtr, ytr, lambdas, alpha, Xva, yva, n_abort=n_abort,
+            tol=tol, maxit=maxit)
+
+    # covariance-mode (Gram) CD when n >> p: per-fold Grams are one
+    # dgemm each, then every CD pass costs O(p^2) independent of n —
+    # the difference between minutes and an hour at biobank n
+    # (glmnet's "covariance updating"; same fixed point and selection)
+    gram_folds = None
+    if (family == "gaussian" and native_mod is not None
+            and native_mod.get_lib() is not None
+            and hasattr(native_mod.get_lib(), "cd_gaussian_gram_path")
+            and n >= 4 * p):
+        S_full = Xs.T @ Xs
+        sum_full = Xs.sum(axis=0)
+        xty_full = Xs.T @ y
+        ysum_full = y.sum()
+        gram_folds = []
+        for k in range(K):
+            vmask = folds == k
+            Xv = Xs[vmask]
+            yv = y[vmask]
+            nv = len(yv)
+            ntr = n - nv
+            Sv = Xv.T @ Xv
+            sv = Xv.sum(axis=0)
+            xvy = Xv.T @ yv
+            gram_folds.append(dict(
+                G=(S_full - Sv) / ntr, xty=(xty_full - xvy) / ntr,
+                c=(sum_full - sv) / ntr, ybar=(ysum_full - yv.sum()) / ntr,
+                Gval=Sv / nv, xvty=xvy / nv, cv=sv / nv,
+                yvbar=yv.mean(), yv2=float(yv @ yv) / nv))
+
+    def fit_fold_gram(k, lambdas, alpha):
+        f = gram_folds[k]
+        return native_mod.cd_gram_path(
+            f["G"], f["xty"], f["c"], f["ybar"], lambdas, alpha,
+            f["Gval"], f["xvty"], f["cv"], f["yvbar"], f["yv2"],
+            n_abort, tol, maxit)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -172,10 +211,15 @@ def big_spReg(X, y, family=None, alphas=(1.0, 0.01, 0.0001), K=10,
             np.log(lam_max / max(alpha, 1e-3) * lambda_min_ratio), nlambda))
         with ThreadPoolExecutor(max_workers=min(K, os.cpu_count() or 1)) \
                 as pool:
-            fits = list(pool.map(
-                lambda k: fit_fold(Xs[folds != k], y[folds != k], lambdas,
-                                   alpha, Xs[folds == k], y[folds == k]),
-                range(K)))
+            if gram_folds is not None:
+                fits = list(pool.map(
+                    lambda k: fit_fold_gram(k, lambdas, alpha), range(K)))
+            else:
+                fits = list(pool.map(
+                    lambda k: fit_fold(Xs[folds != k], y[folds != k],
+                                       lambdas, alpha, Xs[folds == k],
+                                       y[folds == k]),
+                    range(K)))
         fold_betas, fold_ints, fold_losses = [], [], []
         for loss, beta, intercept, _ in fits:
             if beta is None:

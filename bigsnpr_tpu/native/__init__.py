@@ -88,6 +88,16 @@ def get_lib():
                               ctypes.c_int64, ctypes.c_void_p,
                               ctypes.c_void_p, ctypes.c_void_p,
                               ctypes.c_void_p]),
+        ("cd_gaussian_gram_path", [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_double,
+                                   ctypes.c_int64, ctypes.c_void_p,
+                                   ctypes.c_int64, ctypes.c_double,
+                                   ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_double,
+                                   ctypes.c_double, ctypes.c_int64,
+                                   ctypes.c_double, ctypes.c_int64,
+                                   ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_void_p]),
         ("cd_binomial_path", [ctypes.c_void_p, ctypes.c_void_p,
                               ctypes.c_int64, ctypes.c_int64,
                               ctypes.c_void_p, ctypes.c_int64,
@@ -211,6 +221,38 @@ def ldsplit_tables(suffix_tables, m, min_size, max_size, max_K, max_cost,
                    pos_scaled.ctypes.data, c1row0.ctypes.data,
                    best.ctypes.data)
     return c1row0, best
+
+
+def cd_gram_path(G, xty, c, ybar, lambdas, alpha, Gval, xvty, cv, yvbar,
+                 yv2, n_abort, tol, maxit):
+    """Covariance-mode gaussian CD path against precomputed Grams
+    (O(p^2) per pass, n-independent). Returns (loss, beta, intercept,
+    best_li) or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "cd_gaussian_gram_path"):
+        return None
+    G = np.ascontiguousarray(G, dtype=np.float64)
+    Gval = np.ascontiguousarray(Gval, dtype=np.float64)
+    xty = np.ascontiguousarray(xty, dtype=np.float64)
+    xvty = np.ascontiguousarray(xvty, dtype=np.float64)
+    c = np.ascontiguousarray(c, dtype=np.float64)
+    cv = np.ascontiguousarray(cv, dtype=np.float64)
+    lambdas = np.ascontiguousarray(lambdas, dtype=np.float64)
+    p = G.shape[0]
+    beta = np.zeros(p)
+    intercept = np.zeros(1)
+    loss = np.zeros(1)
+    li = np.zeros(1, dtype=np.int64)
+    rc = lib.cd_gaussian_gram_path(
+        G.ctypes.data, xty.ctypes.data, c.ctypes.data, float(ybar), p,
+        lambdas.ctypes.data, len(lambdas), float(alpha),
+        Gval.ctypes.data, xvty.ctypes.data, cv.ctypes.data, float(yvbar),
+        float(yv2), int(n_abort), float(tol), int(maxit),
+        beta.ctypes.data, intercept.ctypes.data, loss.ctypes.data,
+        li.ctypes.data)
+    if rc != 0:
+        return (np.inf, None, None, 0)
+    return (float(loss[0]), beta, float(intercept[0]), int(li[0]))
 
 
 def cd_path(X, y, lambdas, alpha, Xval, yval, n_abort, tol, maxit,

@@ -87,8 +87,14 @@ int cd_gaussian_path(const double* X, const double* y, int64_t n, int64_t p,
     // active-set CD: a full pass (also the KKT check) collects the
     // nonzero set, then cheap inner passes iterate only that set to
     // convergence — same fixed point as plain cyclic CD, a fraction of
-    // the full n*p sweeps (glmnet's covariance-free active strategy)
-    for (int64_t it = 0; it < maxit; ++it) {
+    // the full n*p sweeps (glmnet's covariance-free active strategy).
+    // Work is bounded by a GLOBAL budget of `maxit` full-pass
+    // equivalents (an active pass costs |active|/p of the budget) so a
+    // near-collinear design (e.g. nested C+T threshold scores in SCT
+    // stacking) degrades to the python fallback's maxit sweeps, not
+    // maxit^2 of them.
+    double used = 0.0, budget = static_cast<double>(maxit);
+    while (used < budget) {
       double max_d = 0.0;
       active.clear();
       for (int64_t j = 0; j < p; ++j) {
@@ -97,14 +103,20 @@ int cd_gaussian_path(const double* X, const double* y, int64_t n, int64_t p,
         if (beta[j] != 0.0) active.push_back(j);
       }
       recenter();
+      used += 1.0;
       if (max_d < tol) break;
-      for (int64_t inner = 0; inner < maxit; ++inner) {
+      double frac = active.empty()
+                        ? 1.0
+                        : static_cast<double>(active.size()) /
+                              static_cast<double>(p);
+      while (used < budget) {
         double max_di = 0.0;
         for (int64_t j : active) {
           double d = update_j(j);
           if (d > max_di) max_di = d;
         }
         recenter();
+        used += frac;
         if (max_di < tol) break;
       }
     }
@@ -118,6 +130,106 @@ int cd_gaussian_path(const double* X, const double* y, int64_t n, int64_t p,
       loss += e * e;
     }
     loss /= nval;
+    if (loss < *best_loss) {
+      *best_loss = loss;
+      std::memcpy(best_beta, beta.data(), sizeof(double) * p);
+      *best_intercept = intercept;
+      *best_li = li;
+      best_at = li;
+      have_best = true;
+    }
+    if (li - best_at >= n_abort) break;
+  }
+  return have_best ? 0 : 1;
+}
+
+// Covariance-mode (Gram) gaussian path: when n >> p, CD passes against
+// the p x p Gram cost O(p^2) independent of n (glmnet's "covariance
+// updating"). Same fixed point and selection rule as cd_gaussian_path.
+//
+//   G    = Xtr' Xtr / n_tr   (standardized-columns Gram, p x p)
+//   xty  = Xtr' ytr / n_tr
+//   c    = column means of Xtr (global standardization leaves per-fold
+//          means slightly nonzero)
+//   Gval/xvty/cv: same for the validation fold; yv2 = mean(yval^2)
+int cd_gaussian_gram_path(const double* G, const double* xty,
+                          const double* c, double ybar, int64_t p,
+                          const double* lambdas, int64_t nlam, double alpha,
+                          const double* Gval, const double* xvty,
+                          const double* cv, double yvbar, double yv2,
+                          int64_t n_abort, double tol, int64_t maxit,
+                          double* best_beta, double* best_intercept,
+                          double* best_loss, int64_t* best_li) {
+  std::vector<double> beta(p, 0.0), q(p, 0.0);  // q = G beta
+  double intercept = ybar;  // beta = 0 start
+  *best_loss = HUGE_VAL;
+  *best_li = 0;
+  std::memset(best_beta, 0, sizeof(double) * p);
+  *best_intercept = 0.0;
+  int64_t best_at = 0;
+  bool have_best = false;
+
+  std::vector<int64_t> active;
+  active.reserve(p);
+  for (int64_t li = 0; li < nlam; ++li) {
+    double l1 = lambdas[li] * alpha, l2 = lambdas[li] * (1.0 - alpha);
+
+    auto update_j = [&](int64_t j) -> double {
+      const double* gj = G + j * p;
+      double bj = beta[j];
+      double rho = xty[j] - q[j] + gj[j] * bj - intercept * c[j];
+      double nb = soft(rho, l1) / (gj[j] + l2);
+      if (nb != bj) {
+        axpy(nb - bj, gj, q.data(), p);
+        beta[j] = nb;
+        return std::fabs(nb - bj);
+      }
+      return 0.0;
+    };
+    auto recenter = [&]() { intercept = ybar - dot(c, beta.data(), p); };
+
+    double used = 0.0, budget = static_cast<double>(maxit);
+    while (used < budget) {
+      double max_d = 0.0;
+      active.clear();
+      for (int64_t j = 0; j < p; ++j) {
+        double d = update_j(j);
+        if (d > max_d) max_d = d;
+        if (beta[j] != 0.0) active.push_back(j);
+      }
+      recenter();
+      used += 1.0;
+      if (max_d < tol) break;
+      double frac = active.empty()
+                        ? 1.0
+                        : static_cast<double>(active.size()) /
+                              static_cast<double>(p);
+      while (used < budget) {
+        double max_di = 0.0;
+        for (int64_t j : active) {
+          double d = update_j(j);
+          if (d > max_di) max_di = d;
+        }
+        recenter();
+        used += frac;
+        if (max_di < tol) break;
+      }
+    }
+    // validation loss = mean((yval - b0 - Xval beta)^2), expanded in
+    // Gram terms so Xval never enters this function
+    double bgb = 0.0, bxy = 0.0, bcv = 0.0;
+    for (int64_t j = 0; j < p; ++j) {
+      if (beta[j] == 0.0) continue;
+      bxy += beta[j] * xvty[j];
+      bcv += beta[j] * cv[j];
+      const double* gvj = Gval + j * p;
+      double s = 0.0;
+      for (int64_t k : active)
+        s += gvj[k] * beta[k];
+      bgb += beta[j] * s;
+    }
+    double loss = yv2 - 2.0 * intercept * yvbar - 2.0 * bxy +
+                  2.0 * intercept * bcv + intercept * intercept + bgb;
     if (loss < *best_loss) {
       *best_loss = loss;
       std::memcpy(best_beta, beta.data(), sizeof(double) * p);

@@ -273,6 +273,10 @@ def snp_grid_stacking(multi_PRS: GridPRS, y_train,
     beta_gwas = multi_PRS.betas
     all_keep = multi_PRS.all_keep
 
+    # nested C+T threshold columns are near-collinear: bigstatsr-class
+    # eps (1e-5 on standardized scale) instead of the 1e-7 default,
+    # which can burn the full sweep budget on every lambda
+    kw.setdefault("tol", 1e-5)
     mod = big_spReg(multi_PRS.scores, y_train, alphas=alphas, **kw)
     beta_stacking = mod.beta
 

@@ -59,3 +59,37 @@ def test_sp_logreg_recovers_signal():
 
     assert stats.mannwhitneyu(auc_pred[y == 1], auc_pred[y == 0])[0] / (
         (y == 1).sum() * (y == 0).sum()) > 0.75
+
+
+def test_cd_gram_path_matches_residual_path():
+    """Covariance-mode (Gram) CD == residual-mode CD on the same fold
+    (glmnet covariance updating; used by stacking at biobank n)."""
+    from bigsnpr_tpu import native
+
+    if native.get_lib() is None or not hasattr(
+            native.get_lib(), "cd_gaussian_gram_path"):
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    n, p = 1200, 50
+    X = np.cumsum(rng.standard_normal((n, p)), axis=1)  # collinear cols
+    X = (X - X.mean(0)) / X.std(0)
+    beta_true = np.zeros(p)
+    beta_true[::9] = rng.normal(size=len(beta_true[::9]))
+    y = X @ beta_true + rng.standard_normal(n)
+    ntr = 900
+    Xtr, Xva, ytr, yva = X[:ntr], X[ntr:], y[:ntr], y[ntr:]
+    nv = n - ntr
+    lam_max = np.max(np.abs(Xtr.T @ (ytr - ytr.mean()))) / ntr
+    lambdas = np.exp(np.linspace(np.log(lam_max), np.log(lam_max * 1e-4),
+                                 25))
+    for alpha in (1.0, 0.01):
+        res = native.cd_path(Xtr, ytr, lambdas, alpha, Xva, yva,
+                             10, 1e-7, 200)
+        gram = native.cd_gram_path(
+            Xtr.T @ Xtr / ntr, Xtr.T @ ytr / ntr, Xtr.mean(0), ytr.mean(),
+            lambdas, alpha, Xva.T @ Xva / nv, Xva.T @ yva / nv,
+            Xva.mean(0), yva.mean(), float(yva @ yva) / nv, 10, 1e-7, 200)
+        assert res[3] == gram[3]  # same selected lambda
+        np.testing.assert_allclose(gram[1], res[1], atol=1e-9)
+        assert abs(res[0] - gram[0]) < 1e-9
+        assert abs(res[2] - gram[2]) < 1e-12
