@@ -374,6 +374,9 @@ def _iter_band_blocks(packed, n, m, left_start, block, code256=None,
         yield t0, t1, b0, tuple(np.asarray(s, dtype=np.float64) for s in sums)
 
 
+_BAND_CHUNK_OVERRIDE = None  # tests set this to force band chunking
+
+
 def _iter_kept_pairs_device(packed, n, m, left_start, THR, thr_floor,
                             block=512, pack=None):
     """Device-compacted kept pairs: yields (j, i, r) arrays per target
@@ -399,43 +402,72 @@ def _iter_kept_pairs_device(packed, n, m, left_start, THR, thr_floor,
     THR_d = jnp.asarray(np.nan_to_num(THR, nan=np.inf), dtype=jnp.float32)
     cap = 1 << 14
 
-    def launch(t0, cap):
+    # wide windows (e.g. SCT's base_size/thr.r2 grid can span a whole
+    # chromosome) make the band operand huge: the decoded pair-sum
+    # planes cost ~100 bytes per (row, packed-byte) element across the
+    # f32 planes + bf16 MXU copies, which OOMs HBM when the band is
+    # tens of thousands of variants at biobank n. Chunk the band axis
+    # so each launch stays under ~1.5 GB of decoded planes; pair sums
+    # don't accumulate across band columns, so chunks are independent
+    # launches with global (t0, c0) index offsets.
+    nb = (n + 3) // 4
+    cb_est = max(256, min(nb, (32 << 20) // max(1, 12 * 2 * block)),
+                 -(-nb // 16))
+    wc = int((1536 << 20) // (100 * cb_est)) - block
+    wc = max(block, min(1 << 30, wc) // block * block)
+    if _BAND_CHUNK_OVERRIDE is not None:        # tests force chunking
+        wc = int(_BAND_CHUNK_OVERRIDE)
+
+    def launch(t0, c0, c1, cap):
         t1 = min(t0 + block, m)
-        b0 = int(left_start[t0:t1].min())
         if resident:
-            pt, pb = dev_packed[t0:t1], dev_packed[b0:t1]
+            pt, pb = dev_packed[t0:t1], dev_packed[c0:c1]
+        elif c0 <= t0 and c1 == t1:
+            pb = jnp.asarray(packed_h[c0:c1])
+            pt = pb[t0 - c0:]
         else:
-            pb = jnp.asarray(packed_h[b0:t1])
-            pt = pb[t0 - b0:]
+            pb = jnp.asarray(packed_h[c0:c1])
+            pt = jnp.asarray(packed_h[t0:t1])
         ls_d = jnp.asarray(left_start[t0:t1], dtype=jnp.int32)
         buf = _pair_r_compact_block(
-            pt, pb, jnp.int32(t0), jnp.int32(b0), ls_d,
+            pt, pb, jnp.int32(t0), jnp.int32(c0), ls_d,
             THR_d, jnp.float32(thr_floor), n, cap,
             config.matmul_precision)
-        return (t0, b0, t1 - b0, cap, buf)
+        return (t0, c0, c1 - c0, cap, buf)
+
+    def chunks_for(t0):
+        t1 = min(t0 + block, m)
+        b0 = int(left_start[t0:t1].min())
+        if t1 - b0 <= wc:
+            return [(t0, b0, t1)]
+        # quantize b0 down so inner chunks share one (B, wc) jit shape
+        nch = -(-(t1 - b0) // wc)
+        b0q = max(0, t1 - nch * wc)
+        bounds = [max(b0q, t1 - (nch - k) * wc) for k in range(nch)] + [t1]
+        return [(t0, bounds[k], bounds[k + 1]) for k in range(nch)]
 
     # pipeline a few blocks of device work ahead of each host fetch —
     # a synchronous fetch per block makes the loop tunnel-latency-bound
     depth = 4
     pending = deque()
-    next_t0 = 0
-    while pending or next_t0 < m:
-        while next_t0 < m and len(pending) < depth:
-            pending.append(launch(next_t0, cap))
-            next_t0 += block
-        t0, b0, Wb, cap_b, buf_d = pending.popleft()
+    work = deque(c for t0 in range(0, m, block) for c in chunks_for(t0))
+    while pending or work:
+        while work and len(pending) < depth:
+            t0, c0, c1 = work.popleft()
+            pending.append(launch(t0, c0, c1, cap))
+        t0, c0, Wb, cap_b, buf_d = pending.popleft()
         buf = np.asarray(buf_d)
         cnt = int(buf[0])
         while cnt > cap_b:
             cap = 1 << (cnt - 1).bit_length()   # grow (monotone) & retry
-            _, _, _, cap_b, buf_d = launch(t0, cap)
+            _, _, _, cap_b, buf_d = launch(t0, c0, c0 + Wb, cap)
             buf = np.asarray(buf_d)
             cnt = int(buf[0])
         if cnt:
             idxs = buf[1:1 + cnt]
             vals = buf[1 + cap_b:1 + cap_b + cnt].view(np.float32)
             ii, kk = np.divmod(idxs, Wb)
-            yield t0 + ii, b0 + kk, vals
+            yield t0 + ii, c0 + kk, vals
 
 
 def _pair_r(sums):

@@ -31,10 +31,39 @@ def _chrom_key(c):
         return str(c)
 
 
-def _banded_r2(sub, pos, max_size, block=512):
-    """All window pairs (i < j, |pos_i - pos_j| <= max_size) with their r^2."""
+def _banded_r2(sub, pos, max_size, block=512, thr_r2_floor=0.0):
+    """All window pairs (i < j, |pos_i - pos_j| <= max_size) with their
+    r^2 (> thr_r2_floor when given — pairs below the smallest grid
+    threshold are used by no cell)."""
+    import jax
+
     n, m = sub.n, sub.m
     left_start = _window_geometry(pos, max_size)
+    if not hasattr(sub, "code256") and jax.default_backend() == "tpu":
+        # device-compacted pairs: only kept edges cross the host link,
+        # and wide SCT windows (base_size/thr.r2 spans a chromosome)
+        # stay HBM-bounded via band chunking — the host-finalize path
+        # below ships six dense f64 sum planes per block, which at
+        # biobank n is both tunnel-bound and an HBM OOM
+        from bigsnpr_tpu.ops.corr import (_iter_kept_pairs_device,
+                                          cor_thresholds)
+
+        THR = cor_thresholds(n, 1.0)            # alpha=1: keep-all
+        ei, ej, r2 = [], [], []
+        for jj, ii, vals in _iter_kept_pairs_device(
+                sub.packed, n, m, left_start,
+                THR, float(np.sqrt(thr_r2_floor)), block, pack=sub):
+            ok = np.isfinite(vals)
+            v2 = vals.astype(np.float64) ** 2
+            keep = ok & (v2 > thr_r2_floor)
+            if keep.any():
+                ej.append(jj[keep])
+                ei.append(ii[keep])
+                r2.append(v2[keep])
+        if not ei:
+            z = np.array([], dtype=np.int64)
+            return z, z, np.array([])
+        return np.concatenate(ei), np.concatenate(ej), np.concatenate(r2)
     ei, ej, r2 = [], [], []
     for t0, t1, b0, sums in _iter_band_blocks(sub.packed, n, m, left_start,
                                               block, pack=sub):
@@ -101,7 +130,8 @@ def snp_grid_clumping(
         pos0 = infos_pos[ind_chr0]
         assert np.all(np.diff(pos0) >= 0), "positions must be sorted"
         # one banded r^2 at the widest window for the whole grid
-        ei0, ej0, r20 = _banded_r2(sub0, pos0, max_size, block=block)
+        ei0, ej0, r20 = _banded_r2(sub0, pos0, max_size, block=block,
+                                   thr_r2_floor=float(THR_CLMP.min()))
 
         for thr_imp in THR_IMP:
             sel_imp = infos_imp[ind_chr0] >= thr_imp

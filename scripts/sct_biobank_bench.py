@@ -108,8 +108,13 @@ def main():
 
     # 28-cell clumping grid (7 thr_r2 x 4 base sizes)
     t0 = time.perf_counter()
+    # 10 kb spacing = genotyping-array density (UKBB-class ~36K
+    # variants/chromosome over ~250 Mbp); at 1 kb the grid's widest
+    # window (base 500 kb / thr.r2 0.01 = 50 Mbp) spans the WHOLE
+    # synthetic chromosome and the r^2 stage degenerates to a full
+    # m x m correlation
     all_keep, grid = snp_grid_clumping(
-        pack, infos_chr=np.ones(m, int), infos_pos=np.arange(m) * 1000.0,
+        pack, infos_chr=np.ones(m, int), infos_pos=np.arange(m) * 10_000.0,
         lpS=lpS, ind_row=train)
     n_cells = sum(len(v) for v in all_keep.values())
     dt_clump = time.perf_counter() - t0

@@ -448,10 +448,14 @@ def scale_run(m_scale=200_000, W=500, block=4096, sweeps=(100, 100),
 
     if "--seqcheck" in sys.argv:
         # estimate-quality attribution (round-4 verdict #6): same
-        # synthetic, 100K slice, blocked vs the reference-design
-        # SEQUENTIAL sampler (banded scan chain, no block cuts) — if
-        # the h2/p spreads agree, the flagship's spread is the
-        # sampler's own posterior spread, not block truncation
+        # synthetic, 100K slice, blocked vs an UNCUT single-block run
+        # (same band W, no cross-block truncation — the reference-design
+        # control that is feasible on the tunnel; the literal sequential
+        # scan-chain sampler runs at 5-51 steps/ms here, hours at this
+        # shape, and is bit-equal to uncut-banded on block-diagonal LD
+        # by tests/test_gibbs_blocked.py). If the h2/p spreads agree,
+        # the flagship's spread is the sampler's own posterior spread,
+        # not block truncation. --seqslow adds the true sequential arm.
         ms = min(100_000, m_scale)
         ind = np.arange(ms)
         corr_s = corr.subset(ind)
@@ -463,8 +467,11 @@ def scale_run(m_scale=200_000, W=500, block=4096, sweeps=(100, 100),
         nbs = ms // block
         blocks_s = np.r_[np.full(nbs, block), [ms - nbs * block]][
             :nbs + (ms % block > 0)]
-        for label, kw in (("blocked", dict(blocks=blocks_s)),
-                          ("sequential", dict())):
+        arms = [("blocked", dict(blocks=blocks_s)),
+                ("uncut", dict(blocks=np.array([ms])))]
+        if "--seqslow" in sys.argv:
+            arms.append(("sequential", dict()))
+        for label, kw in arms:
             t0 = time.perf_counter()
             rs = snp_ldpred2_auto(corr_s, df_s, h2_init=0.3,
                                   vec_p_init=p_in, burn_in=burn_in,

@@ -184,3 +184,55 @@ def test_device_compaction_cap_regrow():
     hd = {(i, j): v for i, j, v in zip(h.row, h.col, h.data)}
     for i, j, v in zip(d.row, d.col, d.data):
         assert abs(hd[(i, j)] - v) < 5e-7
+
+
+def test_kept_pairs_band_chunking_parity():
+    """Band-chunked device-compact kept pairs == the host sum-plane path
+    (wide SCT windows OOMed HBM before chunking; round-5 fix)."""
+    import bigsnpr_tpu.ops.corr as corr
+    from bigsnpr_tpu.core import unpack as up
+    from bigsnpr_tpu.core.genotypes import GenoPack
+    from bigsnpr_tpu.ops.corr import (_iter_band_blocks,
+                                      _iter_kept_pairs_device, _pair_r,
+                                      _window_geometry, cor_thresholds)
+
+    rng = np.random.default_rng(7)
+    n, m = 500, 400
+    codes = rng.choice([0, 2, 3], size=(m, n), p=[.5, .3, .2]).astype(
+        np.uint8)
+    for j in range(1, m):
+        mask = rng.uniform(size=n) < 0.7
+        codes[j, mask] = codes[j - 1, mask]
+    pack = GenoPack(packed=up.np_pack_codes(codes), n=n)
+    pos = np.arange(m) * 1000.0
+    left_start = _window_geometry(pos, 50_000.0)
+
+    # host reference: dense sum planes -> f64 r^2, floored at 0.01
+    hset = {}
+    for t0, t1, b0, sums in _iter_band_blocks(pack.packed, n, m,
+                                              left_start, 96, pack=pack):
+        r, _ = _pair_r(sums)
+        jj0 = np.arange(t0, t1)[:, None]
+        jj = np.arange(b0, t1)[None, :]
+        ok = (jj < jj0) & (jj >= left_start[jj0])
+        with np.errstate(invalid="ignore"):
+            ok &= np.nan_to_num(r * r) > 0.01
+        a, b = np.nonzero(ok)
+        for aa, bb in zip(a, b):
+            hset[(jj[0, bb], jj0[aa, 0])] = (r * r)[aa, bb]
+
+    THR = cor_thresholds(n, 1.0)
+    try:
+        corr._BAND_CHUNK_OVERRIDE = 64          # force multiple chunks
+        cset = {}
+        for jj, ii, vals in _iter_kept_pairs_device(
+                pack.packed, n, m, left_start, THR, np.sqrt(0.01), 96,
+                pack=pack):
+            v2 = vals.astype(np.float64) ** 2
+            keep = np.isfinite(vals) & (v2 > 0.01)
+            for i, j, v in zip(ii[keep], jj[keep], v2[keep]):
+                cset[(i, j)] = v
+    finally:
+        corr._BAND_CHUNK_OVERRIDE = None
+    assert set(hset) == set(cset)
+    assert max(abs(hset[k] - cset[k]) for k in hset) < 2e-6
