@@ -186,9 +186,12 @@ def test_device_compaction_cap_regrow():
         assert abs(hd[(i, j)] - v) < 5e-7
 
 
-def test_kept_pairs_band_chunking_parity():
+@pytest.mark.parametrize("with_na", [False, True])
+def test_kept_pairs_band_chunking_parity(with_na):
     """Band-chunked device-compact kept pairs == the host sum-plane path
-    (wide SCT windows OOMed HBM before chunking; round-5 fix)."""
+    (wide SCT windows OOMed HBM before chunking; round-5 fix). The
+    NA-free case exercises the 1-plane nona GEMM; the NA case the 3x3
+    Gram."""
     import bigsnpr_tpu.ops.corr as corr
     from bigsnpr_tpu.core import unpack as up
     from bigsnpr_tpu.core.genotypes import GenoPack
@@ -197,13 +200,20 @@ def test_kept_pairs_band_chunking_parity():
                                       _window_geometry, cor_thresholds)
 
     rng = np.random.default_rng(7)
-    n, m = 500, 400
+    n, m = 501, 400
     codes = rng.choice([0, 2, 3], size=(m, n), p=[.5, .3, .2]).astype(
         np.uint8)
     for j in range(1, m):
         mask = rng.uniform(size=n) < 0.7
         codes[j, mask] = codes[j - 1, mask]
+    if with_na:
+        codes[rng.uniform(size=codes.shape) < 0.02] = 1
+    pad = (-n) % 4
+    if pad:
+        codes = np.concatenate([codes, np.ones((m, pad), np.uint8)],
+                               axis=1)
     pack = GenoPack(packed=up.np_pack_codes(codes), n=n)
+    assert corr._pack_is_nona(pack, pack.packed, n) == (not with_na)
     pos = np.arange(m) * 1000.0
     left_start = _window_geometry(pos, 50_000.0)
 
