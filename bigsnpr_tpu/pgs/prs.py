@@ -69,15 +69,14 @@ def snp_PRS(pack, betas_keep, ind_test=None, ind_keep=None, same_keep=None,
     # 50 thresholds was 1,400 separate dispatches/compiles before.
     betas_mod = (2 * same_keep.astype(np.float64) - 1) * betas_keep
     mask = lpS_keep[:, None] > thr_arr[None, :]          # (k, n_thr)
-    B = betas_mod[:, None] * mask
-    ind = np.asarray(ind_keep)
-    k = len(ind)
-    kp = max(64, 1 << max(k - 1, 1).bit_length())
-    if kp > k:   # pad to power-of-two sizes: few jit shapes across cells
-        ind = np.concatenate([ind, np.full(kp - k, ind[0])])
-        B = np.concatenate([B, np.zeros((kp - k, len(thr_arr)))], axis=0)
-    sub2 = sub.subset(ind_col=ind)
-    scores = np.asarray(snp_prodVec(sub2, B), dtype=np.float64)
+    # fold the kept set into a full-width (m, n_thr) B and run ONE
+    # fused decode+GEMM against the pack's (cached) device copy —
+    # subsetting the pack per call repacked AND re-uploaded GBs per
+    # grid cell through the ~20 MB/s tunnel, and 28 live device
+    # subsets OOMed HBM at biobank n (round-5 SCT run)
+    B = np.zeros((sub.m, len(thr_arr)))
+    B[np.asarray(ind_keep)] = betas_mod[:, None] * mask
+    scores = np.asarray(snp_prodVec(sub, B), dtype=np.float64)
     consts = 2.0 * (((~same_keep) * betas_keep) @ mask)
     return scores + consts[None, :]
 

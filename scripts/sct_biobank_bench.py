@@ -27,28 +27,23 @@ def rss_gb():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
-def main():
-    def arg(flag, default, cast=int):
-        if flag in sys.argv:
-            return cast(sys.argv[sys.argv.index(flag) + 1])
-        return default
-
-    n = arg("--n", 500_000)
-    m = arg("--m", 20_000)
-
-    from bigsnpr_tpu.core.genotypes import GenoPack
-    from bigsnpr_tpu.core import unpack as up
-    from bigsnpr_tpu.pgs.sct import (snp_grid_clumping, snp_grid_PRS,
-                                     snp_grid_stacking)
-
-    rng = np.random.default_rng(0)
-    t0 = time.perf_counter()
-    # LD-structured pack in row chunks (bounded build memory)
+def build_pack(n, m, rng):
+    """LD-structured pack in row chunks (bounded build memory), cached
+    on disk — the byte-op generator (one gaussian per group + 20%
+    per-entry mutation decorrelation) still costs ~6 min single-core
+    at 500K x 20K."""
     from scipy.stats import norm
 
-    # byte-op LD generator (one gaussian per group + 20% per-entry
-    # mutation decorrelation) — the per-entry-gaussian mix cost ~10G f32
-    # draws at 500Kx20K (round-5; shared scheme with tpu_validation)
+    from bigsnpr_tpu.core import unpack as up
+    from bigsnpr_tpu.core.genotypes import GenoPack
+
+    cache = f"/tmp/sct_pack_{m}x{n}.npy"
+    t0 = time.perf_counter()
+    if os.path.exists(cache):
+        packed = np.load(cache)
+        print(f"pack {m}x{n} loaded from {cache} "
+              f"({packed.nbytes/1e9:.1f} GB packed)", flush=True)
+        return GenoPack(packed=packed, n=n)
     packed = np.empty((m, (n + 3) // 4), np.uint8)
     group = 10
     for b0 in range(0, m, 2000):
@@ -68,19 +63,24 @@ def main():
             codes = np.concatenate(
                 [codes, np.ones((mloc, pad), np.uint8)], axis=1)
         packed[b0:b1] = up.np_pack_codes(codes)
-    pack = GenoPack(packed=packed, n=n)
+    np.save(cache, packed)
     print(f"pack {m}x{n} built in {time.perf_counter()-t0:.0f}s "
-          f"({packed.nbytes/1e9:.1f} GB packed, rss {rss_gb():.1f} GB)",
-          flush=True)
+          f"({packed.nbytes/1e9:.1f} GB packed, rss {rss_gb():.1f} GB, "
+          f"cached -> {cache})", flush=True)
+    return GenoPack(packed=packed, n=n)
+
+
+def run_stages(pack, n, m, rng):
+    from bigsnpr_tpu.ops.matvec import snp_cprodVec, snp_prodVec
+    from bigsnpr_tpu.ops.stats import snp_colstats
+    from bigsnpr_tpu.pgs.sct import (snp_grid_clumping, snp_grid_PRS,
+                                     snp_grid_stacking)
 
     # synthetic phenotype + GWAS on a training split — both through the
     # fused decode+GEMM device ops (host to_dosage decodes run at only
     # ~8M entries/s/core: 30+ min of the first draft's wall at 500K)
     t0 = time.perf_counter()
     beta_true = rng.normal(0, 1, m) * (rng.uniform(size=m) < 0.02)
-    from bigsnpr_tpu.ops.stats import snp_colstats
-    from bigsnpr_tpu.ops.matvec import snp_prodVec, snp_cprodVec
-
     st = snp_colstats(pack)
     nona = np.maximum(np.asarray(st["nona"], float), 1)
     ctr = np.asarray(st["sumX"]) / nona
@@ -134,21 +134,16 @@ def main():
           f"({multi.scores.shape} = {sz:.1f} GB on disk, "
           f"rss {rss_gb():.1f} GB)", flush=True)
 
-    # stacking on the train half via the native CD
+    # stacking on the train half via the native CD (covariance mode)
     t0 = time.perf_counter()
-    res = snp_grid_stacking(multi, y[train], ind_train=train,
-                            alphas=(1.0, 0.01), K=4, nlambda=30) \
-        if "ind_train" in snp_grid_stacking.__code__.co_varnames else None
-    if res is None:
-        # stacking API takes the training scores directly
-        sub_scores = np.asarray(multi.scores[train])
-        from bigsnpr_tpu.pgs.sct import GridPRS
+    sub_scores = np.asarray(multi.scores[train])
+    from bigsnpr_tpu.pgs.sct import GridPRS
 
-        sub = GridPRS(scores=sub_scores, lpS=multi.lpS,
-                      grid_lpS_thr=multi.grid_lpS_thr, betas=multi.betas,
-                      all_keep=multi.all_keep, backingfile=None)
-        res = snp_grid_stacking(sub, y[train], alphas=(1.0, 0.01),
-                                K=4, nlambda=30)
+    sub = GridPRS(scores=sub_scores, lpS=multi.lpS,
+                  grid_lpS_thr=multi.grid_lpS_thr, betas=multi.betas,
+                  all_keep=multi.all_keep, backingfile=None)
+    res = snp_grid_stacking(sub, y[train], alphas=(1.0, 0.01),
+                            K=4, nlambda=30)
     dt_stack = time.perf_counter() - t0
     print(f"stacking (native CD): {dt_stack:.0f}s (rss {rss_gb():.1f} GB)",
           flush=True)
@@ -163,6 +158,19 @@ def main():
           f"cor(PRS, y) = {r:.3f} (h2=0.3 cap ~{np.sqrt(0.3):.2f}); "
           f"peak rss {rss_gb():.1f} GB", flush=True)
     os.unlink(store)
+
+
+def main():
+    def arg(flag, default, cast=int):
+        if flag in sys.argv:
+            return cast(sys.argv[sys.argv.index(flag) + 1])
+        return default
+
+    n = arg("--n", 500_000)
+    m = arg("--m", 20_000)
+    rng = np.random.default_rng(0)
+    pack = build_pack(n, m, rng)
+    run_stages(pack, n, m, rng)
 
 
 if __name__ == "__main__":
