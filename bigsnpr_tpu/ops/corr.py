@@ -127,6 +127,45 @@ class SparseLD:
 # banded pairwise-complete sums kernel
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("n", "precision"))
+def _pair_sums_nona_compact(packed_t, packed_b, n, precision):
+    """NA-free pair sums, compact form: (Sxy (B, Wb), st (B,), sst (B,),
+    sb (Wb,), ssb (Wb,)) — one GEMM plane; per-variant sums replace the
+    pairwise-complete planes (Np = n). Integer-exact: dosages {0,1,2}
+    are exact in bf16 and the f32 accumulator is exact below 2^24."""
+    B = packed_t.shape[0]
+    Wb = packed_b.shape[0]
+    nb = packed_t.shape[1]
+    target = 32 * 1024 * 1024  # elements (see _pair_sums_block)
+    cb_bytes = max(256, min(nb, target // max(1, 3 * (B + Wb) * 4)),
+                   -(-nb // 16))
+    nchunks = -(-nb // cb_bytes)
+    pad = nchunks * cb_bytes - nb
+    pt = jnp.pad(packed_t, ((0, 0), (0, pad)), constant_values=0b01010101)
+    pb = jnp.pad(packed_b, ((0, 0), (0, pad)), constant_values=0b01010101)
+    pt = pt.reshape(B, nchunks, cb_bytes).transpose(1, 0, 2)
+    pb = pb.reshape(Wb, nchunks, cb_bytes).transpose(1, 0, 2)
+
+    carry = (jnp.zeros((B, Wb), jnp.float32), jnp.zeros(B, jnp.float32),
+             jnp.zeros(B, jnp.float32), jnp.zeros(Wb, jnp.float32),
+             jnp.zeros(Wb, jnp.float32))
+    for c in range(nchunks):   # unrolled: scan = serialized on the tunnel
+        G, st, sst, sb, ssb = carry
+        ct = unpack_codes(pt[c], cb_bytes * 4)
+        cc = unpack_codes(pb[c], cb_bytes * 4)
+        # NA decode still maps pad/NA bytes to 0 (tail pads are
+        # NA-coded), so they drop out of every sum
+        xt = (2 - ((ct + 1) >> 1)).astype(jnp.float32) * (ct != 1)
+        xb = (2 - ((cc + 1) >> 1)).astype(jnp.float32) * (cc != 1)
+        G = G + jnp.dot(xt.astype(jnp.bfloat16),
+                        xb.astype(jnp.bfloat16).T,
+                        preferred_element_type=jnp.float32)
+        # per-variant sums are integers <= 4n < 2^24: exact in f32
+        carry = (G, st + xt.sum(1), sst + (xt * xt).sum(1),
+                 sb + xb.sum(1), ssb + (xb * xb).sum(1))
+    return carry
+
+
 @partial(jax.jit, static_argnames=("n", "precision", "nona"))
 def _pair_sums_block(packed_t, packed_b, n, precision, nona=False):
     """Targets (B, nb) x band (Wb, nb) -> six (B, Wb) NA-aware pair sums.
@@ -185,27 +224,8 @@ def _pair_sums_block(packed_t, packed_b, n, precision, nona=False):
                              precision=precision)
 
     if nona:
-        def body_nona(carry, pct, pcb):
-            G, st, sst, sb, ssb = carry
-            ct = unpack_codes(pct, cb_bytes * 4)
-            cc = unpack_codes(pcb, cb_bytes * 4)
-            # NA decode still maps pad/NA bytes to 0 (tail pads are
-            # NA-coded), so they drop out of every sum
-            xt = (2 - ((ct + 1) >> 1)).astype(jnp.float32) * (ct != 1)
-            xb = (2 - ((cc + 1) >> 1)).astype(jnp.float32) * (cc != 1)
-            G = G + jnp.dot(xt.astype(jnp.bfloat16),
-                            xb.astype(jnp.bfloat16).T,
-                            preferred_element_type=jnp.float32)
-            # per-variant sums are integers <= 4n < 2^24: exact in f32
-            return (G, st + xt.sum(1), sst + (xt * xt).sum(1),
-                    sb + xb.sum(1), ssb + (xb * xb).sum(1))
-
-        carry = (jnp.zeros((B, Wb), jnp.float32), jnp.zeros(B, jnp.float32),
-                 jnp.zeros(B, jnp.float32), jnp.zeros(Wb, jnp.float32),
-                 jnp.zeros(Wb, jnp.float32))
-        for c in range(nchunks):
-            carry = body_nona(carry, pt[c], pb[c])
-        Sxy, st, sst, sb, ssb = carry
+        Sxy, st, sst, sb, ssb = _pair_sums_nona_compact(
+            packed_t, packed_b, n, precision)
         nf = jnp.full((B, Wb), float(n), jnp.float32)
         return (Sxy, jnp.broadcast_to(st[:, None], (B, Wb)),
                 jnp.broadcast_to(sb[None, :], (B, Wb)),
@@ -385,8 +405,10 @@ def _iter_band_blocks(packed, n, m, left_start, block, code256=None,
     `code256` decode table is given (DosagePack). Pass `pack` (the
     owning GenoPack) to reuse its cached device copy instead of
     re-uploading through the ~20 MB/s tunnel."""
+    nona = False
     if pack is not None and code256 is None:
         dev_packed = _device_packed_nafixed(pack)
+        nona = _pack_is_nona(pack, packed, n)
     else:
         if code256 is None:
             packed = _na_pad_tail(np.asarray(packed), n)
@@ -396,6 +418,19 @@ def _iter_band_blocks(packed, n, m, left_start, block, code256=None,
     for t0 in range(0, m, block):
         t1 = min(t0 + block, m)
         b0 = int(left_start[t0:t1].min())
+        if nona:
+            # NA-free: fetch ONE (B, Wb) plane + four per-variant
+            # vectors instead of six dense planes (6x less link
+            # traffic, 9x fewer MXU cycles); broadcast views keep
+            # _pair_r's f64 arithmetic exact and shape-compatible
+            Sxy, st, sst, sb, ssb = (
+                np.asarray(s, dtype=np.float64)
+                for s in _pair_sums_nona_compact(
+                    dev_packed[t0:t1], dev_packed[b0:t1], n,
+                    config.matmul_precision))
+            yield t0, t1, b0, (Sxy, st[:, None], sb[None, :],
+                               sst[:, None], ssb[None, :], np.float64(n))
+            continue
         if code256 is None:
             sums = _pair_sums_block(
                 dev_packed[t0:t1], dev_packed[b0:t1], n,
