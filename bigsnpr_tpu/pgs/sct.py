@@ -17,6 +17,7 @@ import pandas as pd
 
 from bigsnpr_tpu.ops.corr import _iter_band_blocks, _pair_r, _window_geometry
 from bigsnpr_tpu.ops.clumping import _greedy_fixed_point
+from bigsnpr_tpu.ops.matvec import snp_prodVec
 from bigsnpr_tpu.pgs.prs import snp_PRS
 from bigsnpr_tpu.pgs.lassosum2 import seq_log
 from bigsnpr_tpu.linalg.penalized import big_spReg
@@ -275,12 +276,27 @@ def snp_grid_PRS(pack, all_keep, betas, lpS, n_thr_lpS=50, grid_lpS_thr=None,
     else:
         scores = np.zeros(shape, dtype=np.float32)
     try:
-        for ic, ind_keep in enumerate(keep_sets):
-            if len(ind_keep) == 0:
+        # batch grid cells into grouped full-width GEMMs: one fused
+        # decode+GEMM per ~512 MB of B columns against the pack's
+        # cached device copy (per-cell launches paid ~20 s each of
+        # dispatch+fetch overhead on the tunnel at biobank n; the
+        # threshold masks fold into B like in snp_PRS, same_keep=True)
+        group = max(1, int((512 << 20) // max(1, sub.m * 8 * n_thr)))
+        for g0 in range(0, len(keep_sets), group):
+            cells = keep_sets[g0:g0 + group]
+            B = np.zeros((sub.m, len(cells) * n_thr))
+            any_nz = False
+            for ci, ind_keep in enumerate(cells):
+                if len(ind_keep) == 0:
+                    continue
+                any_nz = True
+                mask = lpS[ind_keep, None] > grid_lpS_thr[None, :]
+                B[ind_keep, ci * n_thr:(ci + 1) * n_thr] = \
+                    betas[ind_keep, None] * mask
+            if not any_nz:
                 continue
-            prs = snp_PRS(sub, betas[ind_keep], ind_keep=ind_keep,
-                          lpS_keep=lpS[ind_keep], thr_list=grid_lpS_thr)
-            scores[:, ic * n_thr:(ic + 1) * n_thr] = prs
+            prs = np.asarray(snp_prodVec(sub, B), dtype=np.float32)
+            scores[:, g0 * n_thr:(g0 + len(cells)) * n_thr] = prs
     except BaseException:
         if backingfile is not None:
             del scores
