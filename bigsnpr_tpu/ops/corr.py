@@ -521,14 +521,25 @@ def _iter_kept_pairs_device(packed, n, m, left_start, THR, thr_floor,
 
     def launch(t0, c0, c1, cap):
         t1 = min(t0 + block, m)
+        # c0 < 0 (first chunk of a quantized band): pad NA rows on top
+        # so EVERY chunk is exactly wc wide — one jit shape for the
+        # whole sweep. Server-side XLA compiles over the tunnel cost
+        # ~15 s per distinct shape; a per-block partial-chunk width
+        # cost the round-5 SCT clumping run ~600 s of pure compiles.
+        # Padded rows are all-NA (zero sums -> NaN r) AND carry global
+        # indices < 0, which the in-window mask drops.
         if resident:
-            pt, pb = dev_packed[t0:t1], dev_packed[c0:c1]
+            pt = dev_packed[t0:t1]
+            pb = dev_packed[max(0, c0):c1]
         elif c0 <= t0 and c1 == t1:
-            pb = jnp.asarray(packed_h[c0:c1])
-            pt = pb[t0 - c0:]
+            pb = jnp.asarray(packed_h[max(0, c0):c1])
+            pt = pb[t0 - max(0, c0):]
         else:
-            pb = jnp.asarray(packed_h[c0:c1])
+            pb = jnp.asarray(packed_h[max(0, c0):c1])
             pt = jnp.asarray(packed_h[t0:t1])
+        if c0 < 0:
+            na = jnp.full((-c0, pb.shape[1]), 0b01010101, jnp.uint8)
+            pb = jnp.concatenate([na, pb])
         ls_d = jnp.asarray(left_start[t0:t1], dtype=jnp.int32)
         buf = _pair_r_compact_block(
             pt, pb, jnp.int32(t0), jnp.int32(c0), ls_d,
@@ -540,12 +551,16 @@ def _iter_kept_pairs_device(packed, n, m, left_start, THR, thr_floor,
         t1 = min(t0 + block, m)
         b0 = int(left_start[t0:t1].min())
         if t1 - b0 <= wc:
-            return [(t0, b0, t1)]
-        # quantize b0 down so inner chunks share one (B, wc) jit shape
+            # quantize width up to a block multiple: ragged window
+            # geometry otherwise compiles one program per target block
+            wq = -(-(t1 - b0) // block) * block
+            return [(t0, t1 - wq, t1)]
+        # every chunk exactly wc wide (first origin may go negative:
+        # launch() pads NA rows) -> a single jit shape across blocks
         nch = -(-(t1 - b0) // wc)
-        b0q = max(0, t1 - nch * wc)
-        bounds = [max(b0q, t1 - (nch - k) * wc) for k in range(nch)] + [t1]
-        return [(t0, bounds[k], bounds[k + 1]) for k in range(nch)]
+        b0q = t1 - nch * wc
+        return [(t0, b0q + k * wc, b0q + (k + 1) * wc)
+                for k in range(nch)]
 
     # pipeline a few blocks of device work ahead of each host fetch —
     # a synchronous fetch per block makes the loop tunnel-latency-bound
