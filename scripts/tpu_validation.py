@@ -362,7 +362,7 @@ def _grouped_gwas_noise(m, n_eff, rng, rho=0.7, group=16):
 
 
 def scale_run(m_scale=200_000, W=500, block=4096, sweeps=(100, 100),
-              chains=1):
+              chains=1, n_eff=50_000.0):
     """HM3-class LDpred2-auto on chip: wall time + memory report
     (reference target: ~1M HM3 variants, <2 min/chain on 4 cores x 30
     concurrent chains, vignettes/LDpred2.Rmd:272-393, with a ~60 GB
@@ -386,7 +386,7 @@ def scale_run(m_scale=200_000, W=500, block=4096, sweeps=(100, 100),
           f"(nnz={corr.upper.nnz/1e6:.0f}M, "
           f"{(corr.upper.data.nbytes + corr.upper.indices.nbytes)/1e9:.1f} GB)")
 
-    n_eff = 50_000.0
+    n_eff = float(n_eff)
     beta_true = np.zeros(m_scale)
     causal = rng.choice(m_scale, m_scale // 50, replace=False)
     beta_true[causal] = rng.normal(0, 0.01, len(causal))
@@ -535,7 +535,8 @@ if __name__ == "__main__":
         scale_run(m_scale=m_s, W=_arg("--W", 500),
                   block=_arg("--block", 4096),
                   sweeps=(_arg("--burn", 100), _arg("--iter", 100)),
-                  chains=_arg("--chains", 1))
+                  chains=_arg("--chains", 1),
+                  n_eff=_arg("--neff", 50_000.0, float))
     elif "--part" in sys.argv:
         i = sys.argv.index("--part")
         main(quick="--quick" in sys.argv, sweep="--sweep" in sys.argv,
